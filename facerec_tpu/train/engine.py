@@ -1,0 +1,303 @@
+"""Training engine — the `train_model` entry point (reference training.py:182-923).
+
+TPU-first redesign of the reference's central loop: one jitted, GSPMD
+data-parallel train step (compiled once), a prefetching host input pipeline,
+per-epoch host-side control (schedulers / early stopping / two-phase
+transitions) applied through injected hyperparams, and orbax checkpoints.
+
+Faithful behaviors:
+  * sequential multi-dataset training (training.py:447)
+  * auto model versioning '{type}_v{n}' (:264-271)
+  * model-aware grad clipping (training_utils.py:151-176) + ArcFace adaptive
+    clip schedule (face_models.py:538-570: min(clip, 0.5+0.05*epoch) early)
+  * ArcFace two-phase transition at max(10, epochs//3) with LR halving
+    (:685-699) and progressive-margin epoch updates (:702-711)
+  * best-model checkpoint on val accuracy (:713-717), per-epoch metrics CSV
+    (:654-656), early stopping on val loss (:725-734), final save + test eval
+    + confusion matrix + model_info.json (:776-915)
+  * train accuracy IS computed per-batch (the reference's train_acc NameError
+    at training.py:639 is a documented defect we fix — SURVEY.md section 7).
+Intentional divergences: no 100-batch/20-batch loop caps by default (they were
+single-GPU defensive caps; config.max_*_batches restores them), no per-batch
+wall-clock timeouts (XLA steps are uniform).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+
+from facerec_tpu.config import CHECKPOINTS_DIR, TrainConfig, logger
+from facerec_tpu.data.datasets import ClassificationBatcher, ImageFolderIndex, SiamesePairBatcher
+from facerec_tpu.data.pipeline import prefetch_to_device
+from facerec_tpu.eval.metrics import confusion_matrix, count_parameters
+from facerec_tpu.models import get_model
+from facerec_tpu.parallel.mesh import build_mesh, shard_params
+from facerec_tpu.train.checkpoints import latest_epoch_checkpoint, load_checkpoint, prune_checkpoints, save_checkpoint
+from facerec_tpu.train.early_stopping import EarlyStopping
+from facerec_tpu.train.results import ResultsManager, next_model_version
+from facerec_tpu.train.schedulers import get_scheduler
+from facerec_tpu.train.state import MODEL_CLIP_NORMS, TrainState, create_train_state, set_hyperparam
+from facerec_tpu.train.steps import jit_steps
+
+
+def _make_batchers(data_dir: Path, config: TrainConfig, split_seeds: int = 0):
+    """Build train/val/test batchers for one dataset dir (ImageFolder layout
+    with train/val/test subdirs, reference data layout section 1)."""
+    out = {}
+    num_classes = 0
+    for split in ("train", "val", "test"):
+        d = Path(data_dir) / split
+        if not d.exists():
+            out[split] = None
+            continue
+        index = ImageFolderIndex.build(d)
+        num_classes = max(num_classes, index.num_classes)
+        if config.model_type == "siamese":
+            out[split] = SiamesePairBatcher(
+                index, config.batch_size, config.image_size,
+                fixed_pairs=(split != "train"), seed=config.seed + split_seeds,
+            )
+        else:
+            out[split] = ClassificationBatcher(
+                index, config.batch_size, config.image_size,
+                shuffle=(split == "train"), seed=config.seed + split_seeds,
+            )
+    return out, num_classes
+
+
+def _run_epoch(step_fn, state, batcher, mesh, epoch, train: bool, max_batches: int = 0,
+               prefetch: int = 2):
+    """One pass over a batcher; returns (state, aggregated metrics dict)."""
+    sums: dict[str, float] = {}
+    n_batches = 0
+    it = batcher.epoch(epoch)
+    for batch in prefetch_to_device(it, mesh, depth=prefetch):
+        if train:
+            state, metrics = step_fn(state, batch)
+        else:
+            metrics = step_fn(state, batch)
+        metrics = jax.device_get(metrics)
+        for k, v in metrics.items():
+            if np.ndim(v) == 0:
+                sums[k] = sums.get(k, 0.0) + float(v)
+        n_batches += 1
+        if max_batches and n_batches >= max_batches:
+            break
+    count = max(sums.get("count", 0.0), 1.0)
+    agg = {
+        "loss": sums.get("loss_sum", 0.0) / count,
+        "acc": sums.get("correct", 0.0) / count,
+        "examples": count,
+        "batches": n_batches,
+    }
+    if "same_count" in sums:
+        agg["same_acc"] = sums["same_correct"] / max(sums["same_count"], 1.0)
+        agg["diff_acc"] = sums["diff_correct"] / max(sums["diff_count"], 1.0)
+    if "grad_norm" in sums and n_batches:
+        agg["grad_norm"] = sums["grad_norm"] / n_batches
+    return state, agg
+
+
+def train_model(
+    config: TrainConfig,
+    dataset_dirs: Sequence[str | Path] | str | Path,
+    checkpoints_root: str | Path | None = None,
+    model_name: str | None = None,
+) -> dict[str, Any]:
+    """Train one model over one or more dataset directories (sequentially,
+    like the reference's multi-dataset loop training.py:447). Returns a
+    summary dict with final metrics and artifact paths."""
+    if isinstance(dataset_dirs, (str, Path)):
+        dataset_dirs = [dataset_dirs]
+    dataset_dirs = [Path(d) for d in dataset_dirs]
+    ckroot = Path(checkpoints_root or CHECKPOINTS_DIR)
+    ckroot.mkdir(parents=True, exist_ok=True)
+
+    # --- dataset discovery & model construction ------------------------------
+    batchers_per_ds = []
+    num_classes = config.num_classes
+    for d in dataset_dirs:
+        b, nc = _make_batchers(d, config)
+        if b["train"] is None:
+            raise FileNotFoundError(f"no train split under {d}")
+        batchers_per_ds.append(b)
+        num_classes = max(num_classes, nc)
+
+    model_type = config.model_type
+    name = model_name or config.model_name or next_model_version(ckroot, model_type)
+    model_dir = ckroot / name
+    results = ResultsManager(model_dir)
+    logger.info("training %s (%s) on %d dataset(s), %d classes",
+                name, model_type, len(dataset_dirs), num_classes)
+
+    arc_kwargs = dict(
+        margin=config.arcface.margin, scale=config.arcface.scale,
+        easy_margin=config.arcface.easy_margin,
+        progressive_margin=config.arcface.progressive_margin,
+        warmup_epochs=config.arcface.warmup_epochs,
+    )
+    model = get_model(
+        model_type, num_classes=num_classes,
+        compute_dtype=config.compute_dtype, param_dtype=config.param_dtype,
+        dropout_rate=config.dropout_rate, arcface_kwargs=arc_kwargs,
+    )
+
+    mesh = build_mesh(config.mesh)
+    rng = jax.random.key(config.seed)
+    first_batch = next(iter(batchers_per_ds[0]["train"].epoch(0)))
+    state = create_train_state(model, first_batch, config, model_type, rng)
+    state = state.replace(params=shard_params(state.params, mesh),
+                          batch_stats=shard_params(state.batch_stats, mesh))
+
+    # Two-phase start: ArcFace phase 1 trains with frozen backbone
+    # (reference face_models.py:492-505 + training flow :685-699).
+    two_phase = model_type == "arcface" and config.arcface.two_phase
+    transition_epoch = (
+        config.arcface.two_phase_epoch if config.arcface.two_phase_epoch > 0
+        else max(10, config.epochs // 3)
+    )
+    if two_phase:
+        set_hyperparam(state.opt_state, "backbone_scale", 0.0)
+
+    # Resume from the newest epoch checkpoint (reference
+    # special_architectures.py:166-188).
+    start_epoch = 0
+    if config.resume:
+        found = latest_epoch_checkpoint(model_dir)
+        if found is not None:
+            ep, path = found
+            restored = load_checkpoint(model_dir, path.name)
+            state = state.replace(
+                params=jax.tree_util.tree_map(lambda t, s: jax.numpy.asarray(s, t.dtype), state.params, restored["params"]),
+                batch_stats=jax.tree_util.tree_map(lambda t, s: jax.numpy.asarray(s, t.dtype), state.batch_stats, restored["batch_stats"]),
+            )
+            start_epoch = ep + 1
+            logger.info("resumed from %s (epoch %d)", path, ep)
+
+    train_step, eval_step = jit_steps(model, model_type, mesh)
+    scheduler = get_scheduler(config.scheduler, config.optimizer.learning_rate, config.epochs)
+    lr = scheduler.step()
+    set_hyperparam(state.opt_state, "learning_rate", lr)
+
+    stopper = EarlyStopping(patience=config.patience, min_delta=config.min_delta, mode="min", trace=True)
+    best_val_acc = -1.0
+    history_rows = []
+    t0 = time.time()
+
+    for ds_i, (ds_dir, batchers) in enumerate(zip(dataset_dirs, batchers_per_ds)):
+        ds_name = ds_dir.name
+        for epoch in range(start_epoch, config.epochs):
+            ep_start = time.time()
+            state = state.replace(epoch=jax.numpy.asarray(float(epoch), jax.numpy.float32))
+
+            # ArcFace adaptive clip schedule (face_models.py:549-553):
+            if model_type == "arcface" and config.optimizer.use_grad_clip:
+                base_clip = MODEL_CLIP_NORMS["arcface"]
+                clip = min(base_clip, 0.5 + 0.05 * epoch) if epoch < 10 else base_clip
+                set_hyperparam(state.opt_state, "max_norm", clip)
+
+            state, train_m = _run_epoch(train_step, state, batchers["train"], mesh, epoch,
+                                        True, config.max_train_batches, config.prefetch_depth)
+            val_m = {"loss": float("nan"), "acc": float("nan")}
+            if batchers["val"] is not None:
+                _, val_m = _run_epoch(eval_step, state, batchers["val"], mesh, epoch,
+                                      False, config.max_val_batches, config.prefetch_depth)
+
+            elapsed = time.time() - ep_start
+            if val_m["acc"] == val_m["acc"] and val_m["acc"] > best_val_acc:  # not-NaN check
+                best_val_acc = val_m["acc"]
+                save_checkpoint(model_dir, "best", state.params, state.batch_stats,
+                                metadata={"epoch": epoch, "val_acc": best_val_acc,
+                                          "val_loss": val_m["loss"], "model_type": model_type,
+                                          "num_classes": num_classes, "dataset": ds_name})
+
+            row = dict(epoch=epoch, dataset=ds_name,
+                       train_loss=round(train_m["loss"], 6), train_acc=round(train_m["acc"], 6),
+                       val_loss=round(val_m["loss"], 6), val_acc=round(val_m["acc"], 6),
+                       best_val_acc=round(best_val_acc, 6), lr=lr, time_elapsed=round(elapsed, 3))
+            results.record_epoch(**row)
+            history_rows.append(row)
+            extra = ""
+            if "same_acc" in val_m:
+                extra = f" same_acc={val_m['same_acc']:.3f} diff_acc={val_m['diff_acc']:.3f}"
+            logger.info("[%s] epoch %d/%d loss=%.4f acc=%.4f val_loss=%.4f val_acc=%.4f lr=%.2e %.1fs%s",
+                        name, epoch + 1, config.epochs, train_m["loss"], train_m["acc"],
+                        val_m["loss"], val_m["acc"], lr, elapsed, extra)
+
+            # periodic full checkpoint + prune
+            if config.checkpoint_every and (epoch + 1) % config.checkpoint_every == 0:
+                save_checkpoint(model_dir, f"epoch_{epoch}", state.params, state.batch_stats,
+                                metadata={"epoch": epoch, "val_acc": val_m["acc"]})
+                prune_checkpoints(model_dir, keep=config.keep_checkpoints)
+
+            # two-phase transition: unfreeze + LR halving (training.py:685-699)
+            if two_phase and epoch + 1 == transition_epoch:
+                set_hyperparam(state.opt_state, "backbone_scale", 1.0)
+                scheduler.base_lr *= 0.5
+                logger.info("[%s] two-phase transition at epoch %d: backbone unfrozen, LR halved",
+                            name, epoch + 1)
+
+            lr = scheduler.step(val_m["loss"])
+            set_hyperparam(state.opt_state, "learning_rate", lr)
+
+            if config.early_stopping and val_m["loss"] == val_m["loss"] and stopper(val_m["loss"]):
+                logger.info("[%s] early stopping at epoch %d", name, epoch + 1)
+                break
+        start_epoch = 0  # subsequent datasets start fresh epochs
+
+    # --- final save + test evaluation ----------------------------------------
+    save_checkpoint(model_dir, "final", state.params, state.batch_stats,
+                    metadata={"model_type": model_type, "num_classes": num_classes,
+                              "epochs": config.epochs})
+    results.save_learning_curves()
+
+    test_summary = {}
+    test_b = batchers_per_ds[-1].get("test")
+    if test_b is not None:
+        _, eval_with_outputs = jit_steps(model, model_type, mesh, return_eval_outputs=True)
+        y_true, y_pred = [], []
+        sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
+        n_b = 0
+        for batch in prefetch_to_device(test_b.epoch(0), mesh, depth=config.prefetch_depth):
+            m = jax.device_get(eval_with_outputs(state, batch))
+            for k in sums:
+                sums[k] += float(m[k])
+            mask = jax.device_get(batch["mask"]).astype(bool)
+            if model_type == "siamese":
+                preds = (m["distances"] < 0.5).astype(np.int32)
+                y_pred.extend(preds[mask].tolist())
+                y_true.extend(jax.device_get(batch["pair_label"])[mask].tolist())
+            else:
+                y_pred.extend(np.argmax(m["probs"], -1)[mask].tolist())
+                y_true.extend(jax.device_get(batch["label"])[mask].tolist())
+            n_b += 1
+            if config.max_test_batches and n_b >= config.max_test_batches:
+                break
+        count = max(sums["count"], 1.0)
+        test_summary = {"test_loss": sums["loss_sum"] / count, "test_acc": sums["correct"] / count}
+        cm = confusion_matrix(np.asarray(y_true), np.asarray(y_pred))
+        results.save_json("confusion_matrix.json", {"matrix": cm.tolist()})
+        logger.info("[%s] test: loss=%.4f acc=%.4f", name, test_summary["test_loss"], test_summary["test_acc"])
+
+    info = {
+        "model_name": name,
+        "model_type": model_type,
+        "num_classes": num_classes,
+        "image_size": config.image_size,
+        "batch_size": config.batch_size,
+        "epochs_trained": len(history_rows),
+        "best_val_acc": best_val_acc,
+        "parameters": count_parameters(jax.device_get(state.params)),
+        "datasets": [str(d) for d in dataset_dirs],
+        "config": config.to_dict(),
+        "total_time_sec": round(time.time() - t0, 2),
+        **test_summary,
+    }
+    results.save_model_info(info)
+    return {"model_dir": model_dir, "state": state, "model": model, "summary": info,
+            "history": history_rows, "best_val_acc": best_val_acc, **test_summary}
