@@ -1,0 +1,284 @@
+"""MTCNN face-detection cascade in Flax — P-Net / R-Net / O-Net.
+
+TPU-native rebuild of the reference's detector dependency
+(facenet-pytorch ``MTCNN``, used at data_prep.py:119-127 and app.py:281):
+batched image pyramid, fully-convolutional P-Net proposals, R-Net/O-Net
+refinement, landmark regression — all with STATIC shapes (fixed pyramid
+levels, padded top-k candidates per stage, masked NMS) so the whole cascade
+jit-compiles once (SURVEY.md section 7 hard-part #1).
+
+Architectures follow Zhang et al. 2016 ("Joint Face Detection and Alignment
+using Multitask Cascaded Convolutional Networks"): P-Net 12x12 fully-conv,
+R-Net 24x24, O-Net 48x48 with 5-point landmarks. Parameter names mirror the
+public facenet-pytorch module names (conv1/prelu1/...) so its pretrained
+``.pt`` state dicts convert mechanically (models/convert.py).
+
+Input convention: uint8/float RGB NHWC; internal normalization is
+(x - 127.5) / 128 like the original implementation.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from facerec_tpu.ops.image import crop_and_resize_from, resize_bilinear
+from facerec_tpu.ops.nms import nms
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C) semantics)."""
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (x.shape[-1],), self.param_dtype)
+        return jnp.where(x >= 0, x, x * alpha.astype(x.dtype))
+
+
+def max_pool_ceil(x, window: int, stride: int):
+    """Max pool with torch ceil_mode=True: pad bottom/right with -inf so
+    partial windows are kept."""
+    b, h, w, c = x.shape
+    ph = (-(h - window) % stride) if h > window else (window - h)
+    pw = (-(w - window) % stride) if w > window else (window - w)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=-jnp.inf)
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding="VALID")
+
+
+class PNet(nn.Module):
+    """Proposal net: fully convolutional, stride 2, 12x12 receptive field."""
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, padding="VALID")
+        x = nn.Conv(10, (3, 3), name="conv1", **kw)(x)
+        x = PReLU(name="prelu1", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = max_pool_ceil(x, 2, 2)
+        x = nn.Conv(16, (3, 3), name="conv2", **kw)(x)
+        x = PReLU(name="prelu2", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.Conv(32, (3, 3), name="conv3", **kw)(x)
+        x = PReLU(name="prelu3", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        probs = nn.softmax(nn.Conv(2, (1, 1), name="conv4_1", **kw)(x), axis=-1)
+        reg = nn.Conv(4, (1, 1), name="conv4_2", **kw)(x)
+        return probs[..., 1], reg  # face prob map [B,h,w], reg [B,h,w,4]
+
+
+class RNet(nn.Module):
+    """Refine net: 24x24 -> (face prob, bbox regression)."""
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, padding="VALID")
+        pkw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = PReLU(name="prelu1", **pkw)(nn.Conv(28, (3, 3), name="conv1", **kw)(x))
+        x = max_pool_ceil(x, 3, 2)
+        x = PReLU(name="prelu2", **pkw)(nn.Conv(48, (3, 3), name="conv2", **kw)(x))
+        x = max_pool_ceil(x, 3, 2)
+        x = PReLU(name="prelu3", **pkw)(nn.Conv(64, (2, 2), name="conv3", **kw)(x))
+        x = x.reshape(x.shape[0], -1)
+        x = PReLU(name="prelu4", **pkw)(nn.Dense(128, name="dense4", **pkw)(x))
+        probs = nn.softmax(nn.Dense(2, name="dense5_1", **pkw)(x), axis=-1)
+        reg = nn.Dense(4, name="dense5_2", **pkw)(x)
+        return probs[:, 1], reg
+
+
+class ONet(nn.Module):
+    """Output net: 48x48 -> (face prob, bbox regression, 5-point landmarks)."""
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, padding="VALID")
+        pkw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = PReLU(name="prelu1", **pkw)(nn.Conv(32, (3, 3), name="conv1", **kw)(x))
+        x = max_pool_ceil(x, 3, 2)
+        x = PReLU(name="prelu2", **pkw)(nn.Conv(64, (3, 3), name="conv2", **kw)(x))
+        x = max_pool_ceil(x, 3, 2)
+        x = PReLU(name="prelu3", **pkw)(nn.Conv(64, (3, 3), name="conv3", **kw)(x))
+        x = max_pool_ceil(x, 2, 2)
+        x = PReLU(name="prelu4", **pkw)(nn.Conv(128, (2, 2), name="conv4", **kw)(x))
+        x = x.reshape(x.shape[0], -1)
+        x = PReLU(name="prelu5", **pkw)(nn.Dense(256, name="dense5", **pkw)(x))
+        probs = nn.softmax(nn.Dense(2, name="dense6_1", **pkw)(x), axis=-1)
+        reg = nn.Dense(4, name="dense6_2", **pkw)(x)
+        lmk = nn.Dense(10, name="dense6_3", **pkw)(x)
+        return probs[:, 1], reg, lmk
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # [B, max_faces, 4] x1y1x2y2 (input pixels)
+    probs: jnp.ndarray  # [B, max_faces]
+    landmarks: jnp.ndarray  # [B, max_faces, 5, 2] (x, y)
+    valid: jnp.ndarray  # [B, max_faces] bool
+
+
+def pyramid_scales(h: int, w: int, min_face_size: int, factor: float = 0.709) -> list[float]:
+    """Static pyramid: scales of 12/min_face * factor^i until min side < 12."""
+    m = 12.0 / min_face_size
+    min_side = min(h, w) * m
+    scales = []
+    while min_side >= 12.0:
+        scales.append(m)
+        m *= factor
+        min_side *= factor
+    return scales
+
+
+def _apply_regression(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    return jnp.stack([
+        boxes[..., 0] + reg[..., 0] * w,
+        boxes[..., 1] + reg[..., 1] * h,
+        boxes[..., 2] + reg[..., 2] * w,
+        boxes[..., 3] + reg[..., 3] * h,
+    ], axis=-1)
+
+
+def _square(boxes: jnp.ndarray) -> jnp.ndarray:
+    """rerec: expand to square around center (original MTCNN postprocess)."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    side = jnp.maximum(w, h)
+    cx = (boxes[..., 0] + boxes[..., 2]) / 2
+    cy = (boxes[..., 1] + boxes[..., 3]) / 2
+    return jnp.stack([cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2], axis=-1)
+
+
+class MTCNN:
+    """Batched, jit-compiled detect(images) -> Detections.
+
+    Candidate budgets are static: ``k_pnet`` cells per pyramid level,
+    ``k_rnet`` proposals into R-Net, ``max_faces`` final detections.
+    """
+
+    def __init__(
+        self,
+        image_hw: tuple[int, int],
+        min_face_size: int = 20,
+        thresholds: tuple[float, float, float] = (0.6, 0.7, 0.7),
+        factor: float = 0.709,
+        max_faces: int = 16,
+        k_pnet: int = 64,
+        k_rnet: int = 64,
+        dtype: Any = jnp.float32,
+    ):
+        self.image_hw = image_hw
+        self.min_face_size = min_face_size
+        self.thresholds = thresholds
+        self.factor = factor
+        self.max_faces = max_faces
+        self.k_pnet = k_pnet
+        self.k_rnet = k_rnet
+        self.scales = pyramid_scales(*image_hw, min_face_size, factor)
+        self.pnet = PNet(dtype=dtype)
+        self.rnet = RNet(dtype=dtype)
+        self.onet = ONet(dtype=dtype)
+
+    # -- parameter init/load --------------------------------------------------
+    def init(self, rng: jax.Array) -> dict:
+        h, w = self.image_hw
+        kp, kr, ko = jax.random.split(rng, 3)
+        return {
+            "pnet": self.pnet.init(kp, jnp.zeros((1, max(h // 4, 12), max(w // 4, 12), 3)))["params"],
+            "rnet": self.rnet.init(kr, jnp.zeros((1, 24, 24, 3)))["params"],
+            "onet": self.onet.init(ko, jnp.zeros((1, 48, 48, 3)))["params"],
+        }
+
+    # -- cascade ---------------------------------------------------------------
+    def __call__(self, params: dict, images: jnp.ndarray) -> Detections:
+        return self.detect(params, images)
+
+    @partial(jax.jit, static_argnums=0)
+    def detect(self, params: dict, images: jnp.ndarray) -> Detections:
+        """images: [B, H, W, 3] float (0..255 or 0..1 — autodetected by max)."""
+        b, h, w, _ = images.shape
+        assert (h, w) == self.image_hw, f"built for {self.image_hw}, got {(h, w)}"
+        x = images.astype(jnp.float32)
+        x = jnp.where(jnp.max(x) <= 2.0, x * 255.0, x)
+        xn = (x - 127.5) / 128.0
+
+        # ---- stage 1: P-Net over the pyramid --------------------------------
+        all_boxes, all_scores, all_valid = [], [], []
+        for scale in self.scales:
+            sh, sw = max(int(math.ceil(h * scale)), 12), max(int(math.ceil(w * scale)), 12)
+            level = resize_bilinear(xn, (sh, sw))
+            prob, reg = self.pnet.apply({"params": params["pnet"]}, level)  # [B,h',w'], [B,h',w',4]
+            bh, bw = prob.shape[1], prob.shape[2]
+            k = min(self.k_pnet, bh * bw)
+            flat = prob.reshape(b, -1)
+            top_p, top_i = jax.lax.top_k(flat, k)  # [B, k]
+            iy = (top_i // bw).astype(jnp.float32)
+            ix = (top_i % bw).astype(jnp.float32)
+            # cell -> input-pixel box (stride 2, cell 12, then unscale)
+            x1 = (ix * 2.0) / scale
+            y1 = (iy * 2.0) / scale
+            x2 = (ix * 2.0 + 12.0) / scale
+            y2 = (iy * 2.0 + 12.0) / scale
+            boxes = jnp.stack([x1, y1, x2, y2], axis=-1)  # [B, k, 4]
+            reg_flat = reg.reshape(b, -1, 4)
+            reg_k = jnp.take_along_axis(reg_flat, top_i[..., None], axis=1)
+            boxes = _apply_regression(boxes, reg_k)
+            valid = top_p > self.thresholds[0]
+            # per-scale NMS 0.5
+            bx, sc, vl, _ = jax.vmap(lambda bb, ss, vv: nms(bb, ss, vv, 0.5, "union"))(boxes, top_p, valid)
+            all_boxes.append(bx)
+            all_scores.append(sc)
+            all_valid.append(vl)
+        boxes = jnp.concatenate(all_boxes, axis=1)
+        scores = jnp.concatenate(all_scores, axis=1)
+        valid = jnp.concatenate(all_valid, axis=1)
+        # cross-scale NMS 0.7, keep top k_rnet
+        boxes, scores, valid, _ = jax.vmap(
+            lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.k_rnet)
+        )(boxes, scores, valid)
+        boxes = _square(boxes)
+
+        # ---- stage 2: R-Net ---------------------------------------------------
+        crops = jax.vmap(lambda im, bx: crop_and_resize_from(im, bx, (24, 24)))(xn, boxes)
+        rp, rreg = self.rnet.apply({"params": params["rnet"]}, crops.reshape(-1, 24, 24, 3))
+        rp = rp.reshape(b, self.k_rnet)
+        rreg = rreg.reshape(b, self.k_rnet, 4)
+        valid = valid & (rp > self.thresholds[1])
+        boxes = _apply_regression(boxes, rreg)
+        boxes, scores, valid, _ = jax.vmap(
+            lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.max_faces)
+        )(boxes, rp, valid)
+        boxes = _square(boxes)
+
+        # ---- stage 3: O-Net ---------------------------------------------------
+        mf = self.max_faces
+        crops = jax.vmap(lambda im, bx: crop_and_resize_from(im, bx, (48, 48)))(xn, boxes)
+        op, oreg, olmk = self.onet.apply({"params": params["onet"]}, crops.reshape(-1, 48, 48, 3))
+        op = op.reshape(b, mf)
+        oreg = oreg.reshape(b, mf, 4)
+        olmk = olmk.reshape(b, mf, 10)
+        valid = valid & (op > self.thresholds[2])
+        bwd = boxes[..., 2] - boxes[..., 0]
+        bht = boxes[..., 3] - boxes[..., 1]
+        lx = boxes[..., 0:1] + olmk[..., 0:5] * bwd[..., None]
+        ly = boxes[..., 1:2] + olmk[..., 5:10] * bht[..., None]
+        landmarks = jnp.stack([lx, ly], axis=-1)  # [B, mf, 5, 2]
+        boxes = _apply_regression(boxes, oreg)
+        boxes, op, valid, idx = jax.vmap(
+            lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "min", mf)
+        )(boxes, op, valid)
+        landmarks = jnp.take_along_axis(landmarks, idx[..., None, None], axis=1)
+        return Detections(boxes=boxes, probs=op, landmarks=landmarks, valid=valid)

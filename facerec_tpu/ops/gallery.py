@@ -1,0 +1,150 @@
+"""Gallery matching: fused cosine-similarity matmul + top-k.
+
+TPU-native replacement for the demo's per-face, per-reference Python distance
+loop (reference app.py:50-64 ``compare_faces``): the whole gallery lives in
+HBM as one [capacity, D] matrix, queries are matched with a single MXU matmul
+and a fused top-k — never materializing the [B, G] score matrix in HBM
+(SURVEY.md section 2.3 item 5, BASELINE.json north star).
+
+Two implementations with identical semantics:
+  * :func:`gallery_topk_pallas` — tiled Pallas kernel. Grid (batch tiles x
+    gallery tiles); each gallery tile is matmul'd in VMEM and merged into a
+    running top-k scratch, so HBM traffic is O(B*D + G*D + B*K).
+  * :func:`gallery_topk_xla` — jnp matmul + ``lax.top_k`` oracle (CPU tests,
+    small galleries, and the autodiff path).
+
+Gallery entries are a valid *prefix* of the capacity (entries are compacted
+on host when references are added/removed); ``count`` masks the padding.
+Scores are cosine similarities in [-1, 1]; euclidean distance on normalized
+embeddings is ``sqrt(2 - 2*cos)`` (used to apply the reference's
+``REC_THRESH=1.0`` euclidean operating point, app.py:19).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def gallery_topk_xla(queries: jnp.ndarray, gallery: jnp.ndarray, count: jnp.ndarray | int,
+                     k: int = 5) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Oracle: [B, D] x [G, D] -> (top-k scores [B, k], indices [B, k])."""
+    scores = jnp.dot(queries.astype(jnp.float32), gallery.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32)
+    g = gallery.shape[0]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) < jnp.asarray(count, jnp.int32)
+    scores = jnp.where(valid, scores, _NEG)
+    return jax.lax.top_k(scores, k)
+
+
+def _topk_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref, topv, topi, *, k: int, tg: int):
+    j = pl.program_id(1)
+    ng = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        topv[:] = jnp.full_like(topv, _NEG)
+        topi[:] = jnp.zeros_like(topi)
+
+    scores = jnp.dot(q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32)  # [TB, TG]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tg
+    scores = jnp.where(col < count_ref[0], scores, _NEG)
+
+    # Merge tile scores into the running top-k: k rounds of max + mask-out.
+    vals = jnp.concatenate([topv[:, :k], scores], axis=1)  # [TB, k+TG]
+    idxs = jnp.concatenate([topi[:, :k], col], axis=1)
+    sel_cols = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    new_v, new_i = [], []
+    for _ in range(k):
+        am = jnp.argmax(vals, axis=1)  # [TB]
+        onehot = sel_cols == am[:, None]
+        new_v.append(jnp.max(vals, axis=1))
+        new_i.append(jnp.sum(jnp.where(onehot, idxs, 0), axis=1))
+        vals = jnp.where(onehot, _NEG, vals)
+    pad = topv.shape[1] - k
+    topv[:] = jnp.pad(jnp.stack(new_v, axis=1), ((0, 0), (0, pad)), constant_values=_NEG)
+    topi[:] = jnp.pad(jnp.stack(new_i, axis=1), ((0, 0), (0, pad)))
+
+    @pl.when(j == ng - 1)
+    def _():
+        out_v_ref[:] = topv[:]
+        out_i_ref[:] = topi[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_b", "block_g", "interpret"))
+def gallery_topk_pallas(
+    queries: jnp.ndarray,  # [B, D]
+    gallery: jnp.ndarray,  # [G, D], G multiple of block_g (pad the gallery buffer)
+    count: jnp.ndarray | int,  # valid prefix length
+    k: int = 5,
+    block_b: int = 128,
+    block_g: int = 512,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    b, d = queries.shape
+    g, dg = gallery.shape
+    assert d == dg, (d, dg)
+    kpad = 128  # lane-aligned top-k scratch; only [:k] is meaningful
+    assert k <= kpad
+    bb = min(block_b, _round_up(b, 8))
+    bp = _round_up(b, bb)
+    if bp != b:
+        queries = jnp.pad(queries, ((0, bp - b), (0, 0)))
+    bg = min(block_g, g)
+    assert g % bg == 0, f"gallery capacity {g} must be a multiple of block_g {bg}"
+    count = jnp.asarray(count, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bp // bb, g // bg),
+        in_specs=[
+            pl.BlockSpec((bb, d), lambda i, j, c: (i, 0)),
+            pl.BlockSpec((bg, d), lambda i, j, c: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, kpad), lambda i, j, c: (i, 0)),
+            pl.BlockSpec((bb, kpad), lambda i, j, c: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, kpad), jnp.float32),
+            pltpu.VMEM((bb, kpad), jnp.int32),
+        ],
+    )
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_topk_kernel, k=k, tg=bg),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((bp, kpad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * g * d, bytes_accessed=(bp * d + g * d + 2 * bp * kpad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(count, queries.astype(jnp.float32), gallery.astype(jnp.float32))
+    return out_v[:b, :k], out_i[:b, :k]
+
+
+def gallery_topk(queries, gallery, count, k: int = 5, use_pallas: bool | None = None):
+    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return gallery_topk_pallas(queries, gallery, count, k)
+    return gallery_topk_xla(queries, gallery, count, k)
+
+
+def cosine_to_euclidean(cos: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance between unit vectors from their cosine similarity."""
+    return jnp.sqrt(jnp.maximum(2.0 - 2.0 * cos, 0.0))

@@ -1,0 +1,162 @@
+"""Ops tests: affine warp vs scipy oracle, NMS vs naive numpy oracle, gallery
+top-k Pallas kernel vs XLA oracle, augmentations, MTCNN cascade contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facerec_tpu.ops.augment import AugmentParams, augment_batch, low_data_variants
+from facerec_tpu.ops.gallery import cosine_to_euclidean, gallery_topk_pallas, gallery_topk_xla
+from facerec_tpu.ops.image import (
+    affine_warp, align_and_crop, bbox_with_margin, crop_and_resize_from, invert_affine,
+    rotation_matrix,
+)
+from facerec_tpu.ops.nms import nms, overlap_matrix
+
+
+def test_affine_warp_identity():
+    img = np.random.default_rng(0).uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    eye = jnp.asarray([[[1.0, 0, 0], [0, 1, 0]]])
+    out = affine_warp(jnp.asarray(img), eye, (16, 16))
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+
+def test_affine_warp_vs_scipy_rotation():
+    from scipy.ndimage import affine_transform
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(32, 32, 1)).astype(np.float32)
+    m = rotation_matrix(jnp.asarray([15.5, 15.5]), jnp.asarray(30.0))
+    inv = invert_affine(m)  # out->in sampling map
+    out = affine_warp(jnp.asarray(img[None]), inv[None], (32, 32))[0, ..., 0]
+    # scipy affine_transform maps output->input with (row, col) matrix order
+    mi = np.asarray(inv)
+    mat = np.array([[mi[1, 1], mi[1, 0]], [mi[0, 1], mi[0, 0]]])
+    off = np.array([mi[1, 2], mi[0, 2]])
+    ref = affine_transform(img[..., 0], mat, offset=off, order=1, mode="constant")
+    interior = (slice(9, 23), slice(9, 23))
+    np.testing.assert_allclose(np.asarray(out)[interior], ref[interior], atol=2e-3)
+
+
+def test_crop_and_resize_from():
+    img = np.zeros((20, 20, 3), np.float32)
+    img[5:15, 5:15] = 1.0
+    boxes = jnp.asarray([[5.0, 5.0, 15.0, 15.0], [0.0, 0.0, 20.0, 20.0]])
+    out = crop_and_resize_from(jnp.asarray(img), boxes, (8, 8))
+    assert out.shape == (2, 8, 8, 3)
+    assert float(out[0].mean()) > 0.9  # crop of the white square is all white
+    assert 0.15 < float(out[1].mean()) < 0.45
+
+
+def test_align_and_crop_levels_eyes():
+    # a tilted "face": two bright eye dots; alignment should level them
+    img = np.zeros((64, 64, 1), np.float32)
+    img[20, 16] = 1.0  # left eye (x=16, y=20)
+    img[28, 48] = 1.0  # right eye tilted down (x=48, y=28)
+    lmk = np.zeros((1, 5, 2), np.float32)
+    lmk[0, 0] = [16, 20]
+    lmk[0, 1] = [48, 28]
+    boxes = jnp.asarray([[8.0, 8.0, 56.0, 56.0]])
+    out = align_and_crop(jnp.asarray(img[None]), boxes, jnp.asarray(lmk), 48)
+    o = np.asarray(out[0, ..., 0])
+    ys, xs = np.nonzero(o > 0.2)
+    # the two eye blobs should now be at (approximately) the same row
+    assert ys.max() - ys.min() <= 2
+
+
+def test_bbox_with_margin():
+    b = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
+    out = np.asarray(bbox_with_margin(b, 0.4, (32, 32)))[0]
+    np.testing.assert_allclose(out, [8, 8, 22, 22])
+    out2 = np.asarray(bbox_with_margin(jnp.asarray([[0.0, 0.0, 31.0, 31.0]]), 1.0, (32, 32)))[0]
+    assert out2[0] >= 0 and out2[3] <= 31
+
+
+def _nms_oracle(boxes, scores, thresh, mode="union"):
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or sup[j]:
+                continue
+            x1 = max(boxes[i, 0], boxes[j, 0]); y1 = max(boxes[i, 1], boxes[j, 1])
+            x2 = min(boxes[i, 2], boxes[j, 2]); y2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+            ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            aj = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            denom = min(ai, aj) if mode == "min" else ai + aj - inter
+            if inter / max(denom, 1e-12) > thresh:
+                sup[j] = True
+    return sorted(keep, key=lambda i: -scores[i])
+
+
+@pytest.mark.parametrize("mode", ["union", "min"])
+def test_nms_vs_oracle(mode):
+    rng = np.random.default_rng(3)
+    n = 40
+    centers = rng.uniform(10, 90, (n, 2))
+    sizes = rng.uniform(5, 25, (n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1).astype(np.float32)
+    scores = rng.uniform(size=n).astype(np.float32)
+    b, s, keep, idx = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.4, mode)
+    got = np.asarray(idx)[np.asarray(keep)]
+    expect = _nms_oracle(boxes, scores, 0.4, mode)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_nms_respects_valid_mask():
+    boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    valid = jnp.asarray([False, True])
+    _, _, keep, idx = nms(boxes, scores, valid, 0.5)
+    assert np.asarray(keep).sum() == 1
+    assert int(np.asarray(idx)[0]) == 1
+
+
+def test_gallery_topk_pallas_matches_xla():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(17, 256)).astype(np.float32)
+    g = rng.normal(size=(1024, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    v0, i0 = gallery_topk_xla(jnp.asarray(q), jnp.asarray(g), 700, k=5)
+    v1, i1 = gallery_topk_pallas(jnp.asarray(q), jnp.asarray(g), 700, k=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # indices never exceed the valid count
+    assert int(np.asarray(i1).max()) < 700
+    d = cosine_to_euclidean(v1)
+    assert np.all(np.asarray(d) >= 0)
+
+
+def test_augment_batch_shapes_and_determinism():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(4, 32, 32, 3)).astype(np.float32)
+    k = jax.random.key(7)
+    a = augment_batch(k, jnp.asarray(x))
+    b = augment_batch(k, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = augment_batch(jax.random.key(8), jnp.asarray(x))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    assert a.shape == x.shape
+    assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) <= 1.0
+    v = low_data_variants(k, jnp.asarray(x[0]), 5)
+    assert v.shape == (5, 32, 32, 3)
+
+
+def test_mtcnn_cascade_contract():
+    from facerec_tpu.detect.mtcnn import MTCNN
+
+    det = MTCNN((96, 96), min_face_size=24, max_faces=4, k_pnet=16, k_rnet=8)
+    params = det.init(jax.random.key(0))
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (2, 96, 96, 3)).astype(np.float32))
+    out = det.detect(params, imgs)
+    assert out.boxes.shape == (2, 4, 4)
+    assert out.landmarks.shape == (2, 4, 5, 2)
+    assert out.valid.dtype == jnp.bool_
+    assert np.all(np.isfinite(np.asarray(out.boxes)))
