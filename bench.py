@@ -1,0 +1,79 @@
+"""Benchmark: end-to-end detect->align->embed->match throughput on one chip.
+
+Timing methodology: device-resident inputs, per-iteration traced salt (the
+runtime caches identical-input executions).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json / BASELINE.md): >=5,000 aligned faces/sec/chip
+through the full fused pipeline on TPU v5e; vs_baseline = value / 5000.
+
+The measured program is the real serving path (facerec_tpu/serve/pipeline.py):
+MTCNN cascade over a static image pyramid, landmark-based fused affine
+align+crop, a ResNet-18-class ArcFace embedder at 160x160, and the Pallas
+gallery top-k against a 1024-entry gallery — all one jit step, steady-state
+timed after compilation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facerec_tpu.config import ServeConfig
+    from facerec_tpu.detect.mtcnn import MTCNN
+    from facerec_tpu.models import get_model
+    from facerec_tpu.serve.pipeline import FacePipeline
+
+    frame_hw = (480, 640)
+    batch = 8
+    cfg = ServeConfig(max_faces=8, gallery_capacity=1024, top_k=5, embed_size=160,
+                      detection_threshold=0.0)  # thresholds don't change the compute
+
+    detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
+                     k_pnet=64, k_rnet=32, dtype=jnp.bfloat16)
+    det_params = detector.init(jax.random.key(0))
+
+    embedder = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
+    ex = jnp.zeros((1, cfg.embed_size, cfg.embed_size, 3), jnp.float32)
+    evars = embedder.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                          ex, labels=jnp.zeros(1, jnp.int32), train=True)
+    evars = {"params": evars["params"], "batch_stats": evars.get("batch_stats", {})}
+
+    def embed_fn(x):
+        return embedder.apply(evars, x, method="embed")
+
+    pipe = FacePipeline(cfg, frame_hw, detector, det_params, embed_fn, embed_dim=512)
+    rng = np.random.default_rng(0)
+    for i in range(512):  # populated gallery
+        pipe.gallery.add(f"id_{i}", rng.normal(size=512).astype(np.float32))
+
+    frames = rng.uniform(0, 255, size=(batch, *frame_hw, 3)).astype(np.float32)
+    t0 = time.time()
+    stats = pipe.benchmark(frames, iters=20)
+    compile_note = time.time() - t0
+
+    value = stats["faces_per_sec"]
+    out = {
+        "metric": "aligned faces/sec/chip (detect->align->embed->match)",
+        "value": round(value, 1),
+        "unit": "faces/sec/chip",
+        "vs_baseline": round(value / 5000.0, 4),
+    }
+    print(json.dumps(out))
+    print(f"# frames/sec={stats['frames_per_sec']:.1f} batch={batch} "
+          f"frame={frame_hw} max_faces={cfg.max_faces} total_bench_s={compile_note:.1f} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,15 @@ def crop_and_resize(images: jnp.ndarray, boxes: jnp.ndarray, out_hw: tuple[int, 
     return affine_warp(images, m, out_hw)
 
 
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def align_and_crop_from(image: jnp.ndarray, boxes: jnp.ndarray, landmarks: jnp.ndarray,
+                        out_size: int) -> jnp.ndarray:
+    """N aligned crops out of ONE image [H, W, C] -> [N, out, out, C]
+    (gathers index the shared image directly; no per-box copies)."""
+    m = align_crop_matrix(boxes, landmarks, out_size)
+    return jax.vmap(lambda mi: _warp_one(image, mi, (out_size, out_size)))(m)
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def crop_and_resize_from(image: jnp.ndarray, boxes: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Crop N boxes out of ONE image [H, W, C] -> [N, oh, ow, C]; the gathers

@@ -1,0 +1,213 @@
+"""Live webcam demo (reference src/app.py:17-731) on the TPU serving pipeline.
+
+Streamlit UI with the same structure: a capture thread feeding frames through
+a Queue, IOU-based face tracking, a reference gallery with add/rename/delete
+persisted to ``face_references/`` (pickle + JPEGs), a recognition history
+log, and auto-prompt for unknown faces. The per-face embedding + per-reference
+Python distance loop of the reference is replaced by the fused batch pipeline
+(serve/pipeline.py) — one device program per frame.
+
+Operating points (reference app.py:17-29): DETECTION_THRESHOLD=0.9,
+RECOGNITION_THRESHOLD=1.0 (euclidean), SKIP_FRAMES=1, IOU tracking 0.3.
+
+Runs headless too: ``FaceDemo`` is importable and testable without streamlit
+or a webcam (synthetic frame source).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+
+from facerec_tpu.config import CHECKPOINTS_DIR, FACE_REFERENCES_DIR, ServeConfig, logger
+from facerec_tpu.serve.gallery import GalleryStore
+from facerec_tpu.serve.pipeline import FacePipeline, FaceTracker
+
+
+def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
+                           config: ServeConfig = ServeConfig(),
+                           embedder_checkpoint: str | None = None) -> FacePipeline:
+    """Assemble detector + embedder. Embedder resolution order:
+    converted InceptionResnetV1 weights (FACEREC_FACENET_WEIGHTS .pt/.npz),
+    then a trained ArcFace checkpoint, then random-init ArcFace (demo still
+    runs; matching quality is meaningless until weights exist)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from facerec_tpu.detect.mtcnn import MTCNN
+    from facerec_tpu.detect.weights import load_detector_params
+
+    detector = MTCNN(frame_hw, min_face_size=40, max_faces=config.max_faces,
+                     thresholds=(0.6, 0.7, 0.7), dtype=jnp.bfloat16)
+    try:
+        det_params = load_detector_params()
+    except FileNotFoundError:
+        logger.warning("no MTCNN weights found — using random-init detector")
+        det_params = detector.init(jax.random.key(0))
+
+    facenet_path = os.environ.get("FACEREC_FACENET_WEIGHTS")
+    if facenet_path and Path(facenet_path).exists():
+        from facerec_tpu.models.convert import load_torch_state_dict
+        from facerec_tpu.models.facenet import InceptionResnetV1, convert_inception_resnet_v1, fixed_standardize
+
+        net = InceptionResnetV1(dtype=jnp.bfloat16)
+        variables = convert_inception_resnet_v1(load_torch_state_dict(facenet_path))
+
+        def embed_fn(x):
+            return net.apply(variables, fixed_standardize(x))
+    else:
+        from facerec_tpu.models import get_model
+        from facerec_tpu.train.checkpoints import load_checkpoint
+
+        net = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
+        if embedder_checkpoint and (CHECKPOINTS_DIR / embedder_checkpoint).exists():
+            ck = load_checkpoint(CHECKPOINTS_DIR / embedder_checkpoint)
+            variables = {"params": ck["params"], "batch_stats": ck.get("batch_stats", {})}
+        else:
+            ex = np.zeros((1, config.embed_size, config.embed_size, 3), np.float32)
+            v = net.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                         ex, labels=np.zeros(1, np.int32), train=True)
+            variables = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+            logger.warning("no embedder checkpoint — using random-init ArcFace embedder")
+
+        def embed_fn(x):
+            return net.apply(variables, x, method="embed")
+
+    pipe = FacePipeline(config, frame_hw, detector, det_params, embed_fn, embed_dim=512)
+    loaded = GalleryStore.load(FACE_REFERENCES_DIR, capacity=config.gallery_capacity)
+    if loaded.count:
+        pipe.gallery = loaded
+        logger.info("loaded %d reference faces", loaded.count)
+    return pipe
+
+
+class FaceDemo:
+    """Headless demo engine: capture thread -> Queue -> pipeline -> results."""
+
+    def __init__(self, pipeline: FacePipeline, config: ServeConfig = ServeConfig(),
+                 frame_source: Callable[[], np.ndarray | None] | None = None):
+        self.pipeline = pipeline
+        self.config = config
+        self.frame_source = frame_source or self._webcam_source()
+        self.tracker = FaceTracker(config.iou_tracking_threshold)
+        self.result_q: "queue.Queue[tuple[np.ndarray, list[dict]]]" = queue.Queue(maxsize=4)
+        self.history: list[dict] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _webcam_source(self):
+        import cv2
+
+        cap = cv2.VideoCapture(0)
+        cap.set(cv2.CAP_PROP_FRAME_WIDTH, 1280)
+        cap.set(cv2.CAP_PROP_FRAME_HEIGHT, 720)
+
+        def read():
+            ok, frame = cap.read()
+            if not ok:
+                return None
+            frame = cv2.resize(frame, (self.pipeline.frame_hw[1], self.pipeline.frame_hw[0]))
+            return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+        return read
+
+    def start(self):
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def _loop(self):
+        frame_i = 0
+        while not self._stop.is_set():
+            frame = self.frame_source()
+            if frame is None:
+                time.sleep(0.01)
+                continue
+            frame_i += 1
+            if self.config.skip_frames and frame_i % (self.config.skip_frames + 1):
+                continue  # frame skipping (reference app.py:170-179)
+            try:
+                faces = self.process_frame(frame)
+                if not self.result_q.full():
+                    self.result_q.put((frame, faces))
+            except Exception as e:  # keep the loop alive (reference app.py:168-256)
+                logger.error("demo frame failed: %s", e)
+
+    def process_frame(self, frame: np.ndarray) -> list[dict]:
+        faces = self.pipeline.identify(frame[None])[0]
+        ids = self.tracker.update([f["box"] for f in faces])
+        for f, fid in zip(faces, ids):
+            f["face_id"] = fid
+            if f["name"] != "Unknown":
+                self.history.append({"name": f["name"], "distance": f["distance"],
+                                     "time": time.strftime("%H:%M:%S")})
+        return faces
+
+    # gallery management (reference app.py:404-563)
+    def add_reference(self, name: str, embedding: np.ndarray, face_img: np.ndarray | None = None):
+        self.pipeline.gallery.add(name, embedding)
+        self.pipeline.gallery.save(images={name: face_img} if face_img is not None else None)
+
+    def remove_reference(self, name: str) -> bool:
+        ok = self.pipeline.gallery.remove(name)
+        if ok:
+            self.pipeline.gallery.save()
+        return ok
+
+
+def synthetic_frame_source(frame_hw: tuple[int, int] = (480, 640), seed: int = 0):
+    """Deterministic synthetic 'webcam': renders a moving synthetic face."""
+    from facerec_tpu.data.synthetic import _identity_params, render_face
+
+    rng = np.random.default_rng(seed)
+    ident = _identity_params(rng)
+    t = [0]
+    size = max(min(frame_hw) // 3, 16)
+
+    def read():
+        t[0] += 1
+        face = render_face(ident, size, np.random.default_rng(t[0]))
+        frame = np.full((*frame_hw, 3), 40, np.uint8)
+        max_y = frame_hw[0] - size
+        max_x = frame_hw[1] - size
+        y = int(max_y / 2 + (max_y / 3) * np.sin(t[0] / 10))
+        x = int(max_x / 2 + (max_x / 3) * np.cos(t[0] / 15))
+        frame[y : y + size, x : x + size] = face
+        return frame
+
+    return read
+
+
+def run_demo() -> int:
+    """Streamlit entry (``python run.py demo`` / reference run.py:95)."""
+    try:
+        import streamlit  # noqa: F401
+    except ImportError:
+        print("streamlit is not installed; running 20 headless synthetic frames instead")
+        pipe = build_default_pipeline()
+        demo = FaceDemo(pipe, frame_source=synthetic_frame_source(pipe.frame_hw))
+        for _ in range(20):
+            frame = demo.frame_source()
+            faces = demo.process_frame(frame)
+            print(f"frame: {len(faces)} faces", [f["name"] for f in faces])
+        return 0
+    import subprocess
+    import sys
+
+    return subprocess.call([sys.executable, "-m", "streamlit", "run", __file__.replace("app.py", "app_ui.py")])
+
+
+if __name__ == "__main__":
+    raise SystemExit(run_demo())

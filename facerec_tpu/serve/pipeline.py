@@ -1,0 +1,212 @@
+"""The serving pipeline: detect -> align -> embed -> match, fused under jit.
+
+This replaces the reference demo's per-frame Python choreography
+(app.py:149-264: MTCNN detect, per-face crop, per-face embedding H->D
+round-trips, then a per-reference Python distance loop at app.py:50-64) with
+ONE compiled program per frame batch: the cascade, the fused affine
+align+crop, the batched embedder, and the Pallas gallery top-k all execute on
+device with no host round-trips between stages — the BASELINE.json north-star
+path ("detect->align->embed->match as one jit pipeline; HBM-resident
+gallery").
+
+Batch-stream design: frames are processed in fixed-size batches; each frame
+yields up to ``max_faces`` slots (masked). Throughput scales along the batch
+axis via the mesh's ``data`` axis (DP) and along the gallery axis via
+``model`` (sharded gallery + top-k merge) — SURVEY.md section 2.2.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facerec_tpu.config import ServeConfig
+from facerec_tpu.detect.mtcnn import MTCNN, Detections
+from facerec_tpu.ops.arcface import l2_normalize
+from facerec_tpu.ops.gallery import cosine_to_euclidean, gallery_topk_pallas, gallery_topk_xla
+from facerec_tpu.ops.image import align_and_crop_from, bbox_with_margin
+from facerec_tpu.serve.gallery import GalleryStore
+
+
+class PipelineResult(NamedTuple):
+    boxes: jnp.ndarray  # [B, F, 4]
+    probs: jnp.ndarray  # [B, F]
+    landmarks: jnp.ndarray  # [B, F, 5, 2]
+    valid: jnp.ndarray  # [B, F] detection valid & above det threshold
+    embeddings: jnp.ndarray  # [B, F, D]
+    match_scores: jnp.ndarray  # [B, F, K] cosine similarities
+    match_indices: jnp.ndarray  # [B, F, K] gallery rows
+    match_distances: jnp.ndarray  # [B, F, K] euclidean (reference operating point)
+    is_match: jnp.ndarray  # [B, F] best distance <= recognition threshold
+
+
+class FacePipeline:
+    """End-to-end face recognition over fixed-size frame batches.
+
+    ``embed_fn(images_uint8_float [N, S, S, 3]) -> [N, D]`` is the pluggable
+    embedder (ArcFaceNet.embed by default; InceptionResnetV1 when converted
+    weights are available — models/facenet.py).
+    """
+
+    def __init__(
+        self,
+        config: ServeConfig,
+        frame_hw: tuple[int, int],
+        detector: MTCNN,
+        detector_params: Any,
+        embed_fn: Callable[[jnp.ndarray], jnp.ndarray],
+        embed_dim: int = 512,
+        face_margin: float = 0.0,
+    ):
+        self.config = config
+        self.frame_hw = frame_hw
+        self.detector = detector
+        self.detector_params = detector_params
+        self.embed_fn = embed_fn
+        self.embed_dim = embed_dim
+        self.face_margin = face_margin
+        self.gallery = GalleryStore(capacity=config.gallery_capacity, dim=embed_dim)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        cfg = self.config
+        det = self.detector
+        det_params = self.detector_params
+        embed_fn = self.embed_fn
+        margin = self.face_margin
+        frame_hw = self.frame_hw
+        use_pallas = jax.default_backend() == "tpu"
+
+        @jax.jit
+        def step(frames: jnp.ndarray, gallery: jnp.ndarray, count: jnp.ndarray) -> PipelineResult:
+            b = frames.shape[0]
+            f = cfg.max_faces
+            d: Detections = det.detect(det_params, frames)
+            valid = d.valid & (d.probs >= cfg.detection_threshold)
+            boxes = d.boxes
+            if margin > 0:
+                boxes = bbox_with_margin(boxes, margin, frame_hw)
+            # fused align (eye landmarks) + crop + resize, one warp per face
+            crops = jax.vmap(
+                lambda img, bx, lm: align_and_crop_from(img, bx, lm, cfg.embed_size)
+            )(frames.astype(jnp.float32), boxes, d.landmarks)
+            crops = crops.reshape(b * f, cfg.embed_size, cfg.embed_size, 3)
+            emb = embed_fn(crops)  # [B*F, D]
+            emb = l2_normalize(emb.astype(jnp.float32))
+            topk = gallery_topk_pallas if use_pallas else gallery_topk_xla
+            scores, idx = topk(emb, gallery, count, k=cfg.top_k)
+            dist = cosine_to_euclidean(scores)
+            emb = emb.reshape(b, f, -1)
+            scores = scores.reshape(b, f, cfg.top_k)
+            idx = idx.reshape(b, f, cfg.top_k)
+            dist = dist.reshape(b, f, cfg.top_k)
+            is_match = valid & (dist[..., 0] <= cfg.recognition_threshold) & (count > 0)
+            return PipelineResult(boxes, d.probs, d.landmarks, valid, emb, scores, idx, dist, is_match)
+
+        return step
+
+    def process(self, frames: np.ndarray) -> PipelineResult:
+        """frames: [B, H, W, 3] uint8/float RGB -> device results."""
+        gallery = jnp.asarray(self.gallery.embeddings)
+        count = jnp.asarray(self.gallery.count, jnp.int32)
+        return self._step(jnp.asarray(frames, jnp.float32), gallery, count)
+
+    def identify(self, frames: np.ndarray) -> list[list[dict]]:
+        """Host-friendly results: per frame, a list of face dicts with names
+        (the demo's consumption shape, app.py:639-676)."""
+        r = jax.device_get(self.process(frames))
+        out = []
+        for bi in range(r.boxes.shape[0]):
+            faces = []
+            for fi in range(r.boxes.shape[1]):
+                if not r.valid[bi, fi]:
+                    continue
+                matched = bool(r.is_match[bi, fi])
+                gi = int(r.match_indices[bi, fi, 0])
+                faces.append({
+                    "box": r.boxes[bi, fi].tolist(),
+                    "prob": float(r.probs[bi, fi]),
+                    "landmarks": r.landmarks[bi, fi].tolist(),
+                    "name": self.gallery.name_of(gi) if matched else "Unknown",
+                    "distance": float(r.match_distances[bi, fi, 0]),
+                    "embedding": np.asarray(r.embeddings[bi, fi]),
+                })
+            out.append(faces)
+        return out
+
+    def benchmark(self, frames: np.ndarray, iters: int = 20) -> dict[str, float]:
+        """Steady-state throughput of the full fused pipeline.
+
+        Inputs live on device, and every iteration perturbs the frames with a
+        traced salt so each call is a distinct execution — this defeats both
+        result caching in the runtime and constant folding (identical-input
+        timing was measured to report cache hits, not compute).
+        """
+        frames_dev = jnp.asarray(frames, jnp.float32)
+        gallery = jnp.asarray(self.gallery.embeddings)
+        count = jnp.asarray(self.gallery.count, jnp.int32)
+        step = self._step
+
+        @jax.jit
+        def salted(salt):
+            r = step(frames_dev + salt, gallery, count)
+            return r.boxes.sum() + r.match_scores.sum()
+
+        salts = [jnp.asarray(float(i)) for i in range(iters + 1)]
+        jax.block_until_ready(salted(salts[-1]))  # compile + warm
+        t0 = time.perf_counter()
+        outs = [salted(salts[i]) for i in range(iters)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / iters
+        b = frames.shape[0]
+        return {
+            "sec_per_batch": dt,
+            "frames_per_sec": b / dt,
+            "faces_per_sec": b * self.config.max_faces / dt,
+        }
+
+
+def calc_iou(box_a, box_b) -> float:
+    """IOU for host-side face tracking across frames (reference app.py:126-147)."""
+    xa = max(box_a[0], box_b[0])
+    ya = max(box_a[1], box_b[1])
+    xb = min(box_a[2], box_b[2])
+    yb = min(box_a[3], box_b[3])
+    inter = max(0.0, xb - xa) * max(0.0, yb - ya)
+    area_a = (box_a[2] - box_a[0]) * (box_a[3] - box_a[1])
+    area_b = (box_b[2] - box_b[0]) * (box_b[3] - box_b[1])
+    denom = area_a + area_b - inter
+    return inter / denom if denom > 0 else 0.0
+
+
+class FaceTracker:
+    """IOU-based face-ID tracking across frames (reference app.py:183-246)."""
+
+    def __init__(self, iou_threshold: float = 0.3):
+        self.iou_threshold = iou_threshold
+        self.prev: list[tuple[int, list[float]]] = []  # (face_id, box)
+        self._next_id = 0
+
+    def update(self, boxes: list[list[float]]) -> list[int]:
+        ids = []
+        used = set()
+        for box in boxes:
+            best, best_iou = -1, self.iou_threshold
+            for fid, pbox in self.prev:
+                if fid in used:
+                    continue
+                iou = calc_iou(box, pbox)
+                if iou > best_iou:
+                    best, best_iou = fid, iou
+            if best < 0:
+                best = self._next_id
+                self._next_id += 1
+            used.add(best)
+            ids.append(best)
+        self.prev = list(zip(ids, boxes))
+        return ids

@@ -179,8 +179,25 @@ def train_model(
             start_epoch = ep + 1
             logger.info("resumed from %s (epoch %d)", path, ep)
 
+    base_lr = config.optimizer.learning_rate
+    if config.use_lr_finder:
+        # LR range-test pre-pass on a disposable state (reference
+        # training.py:284-302); donation invalidates the sweep state, so the
+        # real training state is created fresh above and untouched here.
+        from facerec_tpu.train.lr_finder import find_optimal_lr
+
+        probe_state = create_train_state(model, first_batch, config, model_type,
+                                         jax.random.key(config.seed + 1))
+        probe_state = probe_state.replace(params=shard_params(probe_state.params, mesh),
+                                          batch_stats=shard_params(probe_state.batch_stats, mesh))
+        analysis = find_optimal_lr(model, model_type, probe_state, mesh, batchers_per_ds[0]["train"])
+        results.save_json("lr_finder.json", {k: v for k, v in analysis.items()})
+        if analysis.get("valid"):
+            base_lr = analysis["suggested_lr"]
+            logger.info("LR finder suggests %.3e", base_lr)
+
     train_step, eval_step = jit_steps(model, model_type, mesh)
-    scheduler = get_scheduler(config.scheduler, config.optimizer.learning_rate, config.epochs)
+    scheduler = get_scheduler(config.scheduler, base_lr, config.epochs)
     lr = scheduler.step()
     set_hyperparam(state.opt_state, "learning_rate", lr)
 

@@ -1,0 +1,62 @@
+"""CLI + graft-entry tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from facerec_tpu.cli.main import build_parser, main
+
+
+def test_parser_covers_reference_surface():
+    p = build_parser()
+    # union of reference run.py:88-183 and src/main.py:19-69 subcommands
+    for cmd in ["interactive", "demo", "cv", "hyperopt", "preprocess", "train",
+                "evaluate", "predict", "check-tpu", "list-models", "download",
+                "visualize", "compare-all", "bench"]:
+        args = p.parse_args([cmd] + (["--dataset", "x"] if cmd in
+                            {"train", "cv", "hyperopt", "visualize", "compare-all"} else
+                            ["--image-path", "x", "--dataset", "y"] if cmd == "predict" else []))
+        assert args.command == cmd
+
+
+def test_list_models(capsys):
+    assert main(["list-models"]) == 0
+    out = capsys.readouterr().out.split()
+    assert out == ["baseline", "cnn", "siamese", "attention", "arcface", "hybrid", "ensemble"]
+
+
+def test_check_tpu(capsys):
+    assert main(["check-tpu"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["device_count"] == 8  # virtual CPU mesh in tests
+
+
+def test_train_cli_smoke(synthetic_imagefolder, tmp_path, monkeypatch):
+    import facerec_tpu.config as C
+
+    monkeypatch.setattr(C, "CHECKPOINTS_DIR", tmp_path / "ck")
+    import facerec_tpu.train.engine as E
+
+    monkeypatch.setattr(E, "CHECKPOINTS_DIR", tmp_path / "ck")
+    rc = main(["train", "--model-type", "baseline", "--dataset", str(synthetic_imagefolder),
+               "--epochs", "1", "--batch-size", "8", "--image-size", "32",
+               "--model-name", "cli_t"])
+    assert rc == 0
+    assert (tmp_path / "ck" / "cli_t" / "model_info.json").exists()
+
+
+def test_graft_entry_multichip():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    import jax
+
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 512)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(4)

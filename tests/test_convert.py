@@ -1,0 +1,226 @@
+"""Converter parity tests: build small torch replicas of the reference
+architectures' seams (conv/BN/linear layouts, CHW flatten, ceil-mode pooling,
+PReLU), convert their state dicts, and require output agreement between torch
+(NCHW) and our Flax modules (NHWC) — the mechanism behind the <1e-3 embedding
+parity requirement (BASELINE.json)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def test_baseline_conversion_parity():
+    from facerec_tpu.models import BaselineNet
+    from facerec_tpu.models.convert import convert_baseline
+
+    class TorchBaseline(tnn.Module):  # reference face_models.py:16-60
+        def __init__(self, num_classes=4):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 32, 3, padding=1)
+            self.bn1 = tnn.BatchNorm2d(32)
+            self.conv2 = tnn.Conv2d(32, 64, 3, padding=1)
+            self.bn2 = tnn.BatchNorm2d(64)
+            self.conv3 = tnn.Conv2d(64, 128, 3, padding=1)
+            self.bn3 = tnn.BatchNorm2d(128)
+            self.pool = tnn.MaxPool2d(2, 2)
+            self.fc1 = tnn.Linear(128, 512)
+            self.fc2 = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = self.pool(F.relu(self.bn1(self.conv1(x))))
+            x = self.pool(F.relu(self.bn2(self.conv2(x))))
+            x = self.pool(F.relu(self.bn3(self.conv3(x))))
+            x = x.mean(dim=(2, 3))
+            return self.fc2(F.relu(self.fc1(x)))
+
+    torch.manual_seed(0)
+    tm = TorchBaseline().eval()
+    # randomize BN stats so the test catches stat mapping
+    for m in tm.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = convert_baseline(sd)
+    fm = BaselineNet(num_classes=4)
+    got = fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, x)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=2e-5)
+
+
+def test_chw_flatten_seam():
+    """Dense after a conv flatten: torch flattens CHW, flax flattens HWC —
+    the converter's row permutation must reconcile them exactly."""
+    from facerec_tpu.models.convert import _chw_to_hwc_rows, _linear
+
+    torch.manual_seed(1)
+    conv = tnn.Conv2d(3, 8, 3, padding=1)
+    fc = tnn.Linear(8 * 4 * 4, 7)
+    x = torch.randn(2, 3, 4, 4)
+    with torch.no_grad():
+        feats = conv(x)
+        expect = _np(fc(feats.flatten(1)))
+
+    # flax-style: NHWC conv output flattened HWC
+    feats_hwc = _np(feats).transpose(0, 2, 3, 1).reshape(2, -1)
+    w = _chw_to_hwc_rows(_linear(_np(fc.weight)), 8, 4, 4)
+    got = feats_hwc @ w + _np(fc.bias)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_pnet_conversion_parity():
+    """facenet-pytorch P-Net replica (PReLU per-channel, ceil-mode pool,
+    VALID convs) vs our PNet."""
+    from facerec_tpu.detect.mtcnn import PNet
+    from facerec_tpu.models.convert import convert_mtcnn_net
+
+    class TorchPNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 10, 3)
+            self.prelu1 = tnn.PReLU(10)
+            self.pool1 = tnn.MaxPool2d(2, 2, ceil_mode=True)
+            self.conv2 = tnn.Conv2d(10, 16, 3)
+            self.prelu2 = tnn.PReLU(16)
+            self.conv3 = tnn.Conv2d(16, 32, 3)
+            self.prelu3 = tnn.PReLU(32)
+            self.conv4_1 = tnn.Conv2d(32, 2, 1)
+            self.conv4_2 = tnn.Conv2d(32, 4, 1)
+
+        def forward(self, x):
+            x = self.prelu1(self.conv1(x))
+            x = self.pool1(x)
+            x = self.prelu2(self.conv2(x))
+            x = self.prelu3(self.conv3(x))
+            return torch.softmax(self.conv4_1(x), dim=1), self.conv4_2(x)
+
+    torch.manual_seed(2)
+    tm = TorchPNet().eval()
+    for p in tm.parameters():
+        p.data.uniform_(-0.3, 0.3)
+    x = np.random.default_rng(1).normal(size=(2, 25, 25, 3)).astype(np.float32)  # odd size -> ceil pool
+    with torch.no_grad():
+        tp, tr = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = convert_mtcnn_net(sd, "pnet")
+    prob, reg = PNet().apply({"params": tree["params"]}, x)
+    np.testing.assert_allclose(np.asarray(prob), _np(tp)[:, 1], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(reg), _np(tr).transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_rnet_conversion_parity():
+    from facerec_tpu.detect.mtcnn import RNet
+    from facerec_tpu.models.convert import convert_mtcnn_net
+
+    class TorchRNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 28, 3)
+            self.prelu1 = tnn.PReLU(28)
+            self.pool1 = tnn.MaxPool2d(3, 2, ceil_mode=True)
+            self.conv2 = tnn.Conv2d(28, 48, 3)
+            self.prelu2 = tnn.PReLU(48)
+            self.pool2 = tnn.MaxPool2d(3, 2, ceil_mode=True)
+            self.conv3 = tnn.Conv2d(48, 64, 2)
+            self.prelu3 = tnn.PReLU(64)
+            self.dense4 = tnn.Linear(64 * 3 * 3, 128)
+            self.prelu4 = tnn.PReLU(128)
+            self.dense5_1 = tnn.Linear(128, 2)
+            self.dense5_2 = tnn.Linear(128, 4)
+
+        def forward(self, x):
+            x = self.pool1(self.prelu1(self.conv1(x)))
+            x = self.pool2(self.prelu2(self.conv2(x)))
+            x = self.prelu3(self.conv3(x))
+            x = x.flatten(1)
+            x = self.prelu4(self.dense4(x))
+            return torch.softmax(self.dense5_1(x), dim=1), self.dense5_2(x)
+
+    torch.manual_seed(3)
+    tm = TorchRNet().eval()
+    for p in tm.parameters():
+        p.data.uniform_(-0.2, 0.2)
+    x = np.random.default_rng(2).normal(size=(3, 24, 24, 3)).astype(np.float32)
+    with torch.no_grad():
+        tp, tr = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = convert_mtcnn_net(sd, "rnet")
+    prob, reg = RNet().apply({"params": tree["params"]}, x)
+    np.testing.assert_allclose(np.asarray(prob), _np(tp)[:, 1], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(reg), _np(tr), atol=2e-5)
+
+
+def test_resnet18_conversion_parity():
+    """Hand-built torchvision-style resnet18 basic blocks vs our ResNet18.
+    (torchvision itself is absent from the image; the state-dict key layout
+    is replicated exactly.)"""
+    from facerec_tpu.models.resnet import ResNet18
+    from facerec_tpu.models.convert import convert_resnet18
+
+    class TorchBasicBlock(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride=stride, bias=False), tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            idn = x if self.downsample is None else self.downsample(x)
+            y = F.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return F.relu(y + idn)
+
+    class TorchResNet18(tnn.Module):
+        def __init__(self, width=8):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.maxpool = tnn.MaxPool2d(3, 2, padding=1)
+            chans = [width, width * 2, width * 4, width * 8]
+            for li, c in enumerate(chans, start=1):
+                cin = width if li == 1 else chans[li - 2]
+                stride = 1 if li == 1 else 2
+                setattr(self, f"layer{li}", tnn.Sequential(
+                    TorchBasicBlock(cin, c, stride), TorchBasicBlock(c, c)))
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+            for li in range(1, 5):
+                x = getattr(self, f"layer{li}")(x)
+            return x
+
+    torch.manual_seed(4)
+    tm = TorchResNet18(width=8).eval()
+    for m in tm.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    x = np.random.default_rng(3).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))).transpose(0, 2, 3, 1)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = convert_resnet18(sd).done()
+    fm = ResNet18(width=8)
+    got = fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, x)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=5e-5)

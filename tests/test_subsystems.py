@@ -1,0 +1,293 @@
+"""Subsystem tests: tuner (resume/pruning/trial0), cross-validation, LR
+finder, gallery store persistence, serving pipeline + demo, visualizer,
+downloader reorganization logic, preprocessing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from facerec_tpu.config import ServeConfig, TrainConfig, TuningConfig
+
+
+# --------------------------------------------------------------------------- tuner
+def _fake_objective(results_by_lr):
+    def objective(cfg, report):
+        # deterministic quality as a function of lr distance to 1e-3
+        import math
+
+        q = max(0.0, 1.0 - abs(math.log10(cfg.optimizer.learning_rate) - math.log10(1e-3)) / 3)
+        accs = [q * (e + 1) / 5 for e in range(5)]
+        for e, a in enumerate(accs):
+            report(e, a)
+        return accs
+
+    return objective
+
+
+def test_tuner_runs_and_resumes(tmp_path):
+    from facerec_tpu.train.tuning import run_hyperparameter_tuning
+
+    db = tmp_path / "study.sqlite"
+    tcfg = TuningConfig(model_type="baseline", n_trials=6, epochs_per_trial=5,
+                        storage=str(db), study_name="t", pruning=True, seed=0)
+    res = run_hyperparameter_tuning(tcfg, tmp_path, output_dir=tmp_path / "o1",
+                                    objective_fn=_fake_objective({}))
+    assert res["n_trials"] == 6
+    assert res["best_value"] is not None
+    # resume: asking for 10 total runs only 4 more
+    tcfg2 = tcfg.replace(n_trials=10)
+    res2 = run_hyperparameter_tuning(tcfg2, tmp_path, output_dir=tmp_path / "o2",
+                                     objective_fn=_fake_objective({}))
+    assert res2["n_trials"] == 10
+    assert (tmp_path / "o1" / "results.json").exists()
+    assert (tmp_path / "o2" / "study_summary.txt").exists()
+
+
+def test_tuner_trial0_baseline(tmp_path):
+    from facerec_tpu.train.tuning import TRIAL0_BASELINES, run_hyperparameter_tuning
+
+    captured = []
+
+    def objective(cfg, report):
+        captured.append(cfg)
+        return [0.5]
+
+    tcfg = TuningConfig(model_type="arcface", n_trials=1, epochs_per_trial=1, seed=0)
+    run_hyperparameter_tuning(tcfg, tmp_path, output_dir=tmp_path / "o",
+                              objective_fn=objective)
+    base = TRIAL0_BASELINES["arcface"]
+    assert captured[0].optimizer.learning_rate == base["learning_rate"]
+    assert captured[0].arcface.margin == base["arcface_margin"]
+    assert captured[0].optimizer.amsgrad
+
+
+def test_tuner_pruning(tmp_path):
+    from facerec_tpu.train.tuning import run_hyperparameter_tuning
+
+    calls = {"n": 0}
+
+    def objective(cfg, report):
+        calls["n"] += 1
+        good = calls["n"] <= 4
+        accs = []
+        for e in range(6):
+            a = 0.9 if good else 0.01
+            accs.append(a)
+            report(e, a)  # bad trials fall below median -> pruned
+        return accs
+
+    tcfg = TuningConfig(model_type="baseline", n_trials=8, epochs_per_trial=6,
+                        pruning=True, pruning_warmup_epochs=1, use_trial0_baseline=False, seed=1)
+    res = run_hyperparameter_tuning(tcfg, tmp_path, output_dir=tmp_path / "o",
+                                    objective_fn=objective)
+    states = [t["state"] for t in res["trials"]]
+    assert "PRUNED" in states
+
+
+# ----------------------------------------------------------------- cross-validation
+def test_kfold_indices():
+    from facerec_tpu.train.cross_validation import kfold_indices
+
+    folds = kfold_indices(23, 5, seed=42)
+    assert len(folds) == 5
+    all_val = np.concatenate([v for _, v in folds])
+    assert sorted(all_val.tolist()) == list(range(23))
+    for tr, va in folds:
+        assert set(tr) & set(va) == set()
+        assert len(tr) + len(va) == 23
+
+
+def test_cross_validation_e2e(synthetic_imagefolder, tmp_path):
+    from facerec_tpu.train.cross_validation import run_cross_validation
+
+    cfg = TrainConfig(model_type="baseline", batch_size=8, image_size=32,
+                      compute_dtype="float32")
+    res = run_cross_validation(cfg, synthetic_imagefolder, n_splits=2, epochs_per_fold=1,
+                               checkpoints_root=tmp_path)
+    assert len(res["fold_results"]) == 2
+    assert 0.0 <= res["mean_val_acc"] <= 1.0
+    cv_dirs = list(tmp_path.glob("cv_baseline_*"))
+    assert cv_dirs and (cv_dirs[0] / "cv_results.json").exists()
+
+
+# ------------------------------------------------------------------------ LR finder
+def test_lr_finder(synthetic_imagefolder):
+    import jax
+
+    from facerec_tpu.data.datasets import ClassificationBatcher, ImageFolderIndex
+    from facerec_tpu.models import get_model
+    from facerec_tpu.parallel.mesh import build_mesh
+    from facerec_tpu.train.lr_finder import find_optimal_lr
+    from facerec_tpu.train.state import create_train_state
+
+    cfg = TrainConfig(model_type="baseline", batch_size=8, image_size=32, compute_dtype="float32")
+    index = ImageFolderIndex.build(synthetic_imagefolder / "train")
+    b = ClassificationBatcher(index, 8, 32, seed=0)
+    model = get_model("baseline", num_classes=index.num_classes)
+    first = next(iter(b.epoch(0)))
+    state = create_train_state(model, first, cfg, "baseline", jax.random.key(0))
+    mesh = build_mesh()
+    res = find_optimal_lr(model, "baseline", state, mesh, b, num_steps=25)
+    assert res["valid"]
+    assert 0 < res["suggested_lr"] <= 1e-2
+    assert len(res["lrs"]) == len(res["losses"])
+
+
+# -------------------------------------------------------------------------- gallery
+def test_gallery_store_roundtrip(tmp_path):
+    from facerec_tpu.serve.gallery import GalleryStore
+
+    g = GalleryStore(capacity=8, dim=16)
+    rng = np.random.default_rng(0)
+    for n in ["alice", "bob", "carol"]:
+        g.add(n, rng.normal(size=16))
+    assert g.count == 3
+    np.testing.assert_allclose(np.linalg.norm(g.embeddings[:3], axis=1), 1.0, atol=1e-6)
+    assert g.remove("bob")
+    assert g.count == 2 and g.names == ["alice", "carol"]
+    assert np.allclose(g.embeddings[2], 0)  # compacted
+    g.rename("carol", "carla")
+    d = g.save(tmp_path)
+    g2 = GalleryStore.load(d, capacity=8)
+    assert g2.names == ["alice", "carla"]
+    np.testing.assert_allclose(g2.embeddings[:2], g.embeddings[:2], atol=1e-6)
+    assert not g.remove("nobody")
+    with pytest.raises(ValueError):
+        GalleryStore(capacity=1, dim=4).add("a", np.ones(3))
+
+
+# ---------------------------------------------------------------------- serve pipeline
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from facerec_tpu.detect.mtcnn import MTCNN
+    from facerec_tpu.models import get_model
+    from facerec_tpu.serve.pipeline import FacePipeline
+
+    cfg = ServeConfig(max_faces=4, gallery_capacity=128, top_k=3, embed_size=32,
+                      detection_threshold=0.0, recognition_threshold=10.0)
+    det = MTCNN((96, 96), min_face_size=24, max_faces=4, k_pnet=16, k_rnet=8)
+    dp = det.init(jax.random.key(0))
+    model = get_model("baseline", num_classes=4)
+    ex = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)}, ex, train=False)
+
+    def embed_fn(x):
+        return model.apply(v, x, method="embed")
+
+    return FacePipeline(cfg, (96, 96), det, dp, embed_fn, embed_dim=512)
+
+
+def test_pipeline_process_and_identify(tiny_pipeline):
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        tiny_pipeline.gallery.add(f"p{i}", rng.normal(size=512))
+    frames = rng.uniform(0, 255, (2, 96, 96, 3)).astype(np.float32)
+    r = tiny_pipeline.process(frames)
+    assert r.embeddings.shape == (2, 4, 512)
+    assert r.match_indices.shape == (2, 4, 3)
+    assert int(np.asarray(r.match_indices).max()) < 3  # only valid gallery rows
+    faces = tiny_pipeline.identify(frames)
+    assert len(faces) == 2
+    for f in faces[0]:
+        assert f["name"] in {"p0", "p1", "p2", "Unknown"}
+
+
+def test_face_tracker():
+    from facerec_tpu.serve.pipeline import FaceTracker, calc_iou
+
+    assert calc_iou([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
+    assert calc_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+    t = FaceTracker(0.3)
+    ids1 = t.update([[0, 0, 10, 10], [50, 50, 70, 70]])
+    ids2 = t.update([[2, 2, 12, 12], [100, 100, 120, 120]])
+    assert ids2[0] == ids1[0]  # overlapping box keeps its id
+    assert ids2[1] not in ids1  # new face gets a fresh id
+
+
+def test_demo_headless(tiny_pipeline):
+    from facerec_tpu.serve.app import FaceDemo, synthetic_frame_source
+
+    demo = FaceDemo(tiny_pipeline, ServeConfig(max_faces=4, skip_frames=0),
+                    frame_source=synthetic_frame_source((96, 96)))
+    frame = demo.frame_source()
+    assert frame.shape == (96, 96, 3)
+    faces = demo.process_frame(frame)
+    assert isinstance(faces, list)
+
+
+# ------------------------------------------------------------------------ visualizer
+def test_visualizer_export(synthetic_imagefolder, tmp_path):
+    import jax
+
+    from facerec_tpu.data.datasets import ImageFolderIndex
+    from facerec_tpu.eval.visualizer import EmbeddingVisualizer, pca
+    from facerec_tpu.models import get_model
+
+    x = np.random.default_rng(0).normal(size=(20, 8))
+    p = pca(x, 3)
+    assert p.shape == (20, 3)
+
+    index = ImageFolderIndex.build(synthetic_imagefolder / "test")
+    model = get_model("baseline", num_classes=4)
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   np.zeros((1, 32, 32, 3), np.float32), train=False)
+    viz = EmbeddingVisualizer(model, v, "baseline", image_size=32, max_samples=16)
+    res = viz.export(index, tmp_path / "viz")
+    assert (tmp_path / "viz" / "tsne_2d.csv").exists()
+    assert (tmp_path / "viz" / "similarity_matrix.csv").exists()
+    assert res["num_embeddings"] <= 16
+
+
+# ------------------------------------------------------------------------ downloader
+def test_downloader_reorganization(tmp_path):
+    from facerec_tpu.data.download import clean_person_name, extract_images, _infer_identity
+    from PIL import Image
+
+    assert clean_person_name("pins_Brad Pitt") == "Brad_Pitt"
+    assert clean_person_name("emma-watson") == "Emma_Watson"
+    assert _infer_identity("Brad_Pitt_103.jpg") == "Brad_Pitt"
+
+    src = tmp_path / "src"
+    for person in ("pins_alice", "bob_smith"):
+        d = src / "deep" / person
+        d.mkdir(parents=True)
+        Image.new("RGB", (8, 8)).save(d / "img1.jpg")
+        Image.new("RGB", (8, 8)).save(d / "img2.jpg")
+    dest = tmp_path / "dest"
+    counts = extract_images(src, dest)
+    assert counts == {"Alice": 2, "Bob_Smith": 2}
+    assert (dest / "Alice" / "img1.jpg").exists()
+
+
+# ---------------------------------------------------------------------- preprocessing
+def test_process_raw_data_resize_fallback(tmp_path):
+    from PIL import Image
+
+    from facerec_tpu.config import PreprocessingConfig
+    from facerec_tpu.data.preprocess import process_raw_data
+    from facerec_tpu.data.synthetic import make_synthetic_arrays
+
+    imgs, labels = make_synthetic_arrays(num_classes=2, per_class=6, size=48, seed=0)
+    raw = tmp_path / "raw" / "ds1"
+    for i, (im, l) in enumerate(zip(imgs, labels)):
+        d = raw / f"person_{l}"
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(im).save(d / f"{i}.jpg")
+
+    cfg = PreprocessingConfig(name="t", use_mtcnn=False, final_size=(32, 32),
+                              low_data_threshold=20, low_data_variants=2)
+    out = process_raw_data(tmp_path / "raw", tmp_path / "proc", cfg, seed=0)
+    assert (out / "preprocess_stats.json").exists()
+    train_imgs = list((out / "ds1" / "train").glob("*/*.jpg"))
+    assert train_imgs, "train split written"
+    aug = [p for p in train_imgs if "_aug" in p.name]
+    assert aug, "low-data augmentation variants written"
+    with Image.open(train_imgs[0]) as im:
+        assert im.size == (32, 32)
+    # test_mode truncation
+    out2 = process_raw_data(tmp_path / "raw", tmp_path / "proc2", cfg, test_mode=True, seed=0)
+    assert (out2 / "preprocess_stats.json").exists()
