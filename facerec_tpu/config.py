@@ -27,6 +27,10 @@ from typing import Any, Sequence
 # Path layout (mirrors reference src/base_config.py:12-28 artifact contract)
 # ---------------------------------------------------------------------------
 
+# Persistent XLA compilation cache: first compiles through the TPU
+# remote-compile tunnel take ~30-90s; the cache makes reruns instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+
 PROJECT_ROOT = Path(os.environ.get("FACEREC_ROOT", Path(__file__).resolve().parent.parent))
 DATA_DIR = PROJECT_ROOT / "data"
 RAW_DATA_DIR = DATA_DIR / "raw"

@@ -64,6 +64,62 @@ def render_face(params: dict, size: int, jitter_rng: np.random.Generator | None 
     return (img * 255).astype(np.uint8)
 
 
+def face_landmarks(params: dict, size: int, shift=(0.0, 0.0)) -> np.ndarray:
+    """5-point landmarks (x, y) in pixel coords for a rendered face:
+    left eye, right eye, nose (eye-mouth midpoint), mouth-left, mouth-right."""
+    sx, sy = shift
+    def pt(u, v):
+        return [(u + 0.5 + sx) * size, (v + 0.5 + sy) * size]
+    le = pt(-params["eye_dx"], params["eye_y"])
+    re = pt(params["eye_dx"], params["eye_y"])
+    ml = pt(-params["mouth_w"], params["mouth_y"])
+    mr = pt(params["mouth_w"], params["mouth_y"])
+    nose = [(le[0] + re[0] + ml[0] + mr[0]) / 4, (le[1] + re[1] + ml[1] + mr[1]) / 4]
+    return np.asarray([le, re, nose, ml, mr], np.float32)
+
+
+def face_bbox(params: dict, size: int, shift=(0.0, 0.0)) -> np.ndarray:
+    """Tight face box (x1, y1, x2, y2) in pixel coords (hair top to chin)."""
+    sx, sy = shift
+    x1 = (0.5 + sx - params["face_ax"]) * size
+    x2 = (0.5 + sx + params["face_ax"]) * size
+    y1 = (0.5 + sy + params["hair_top"]) * size
+    y2 = (0.5 + sy + params["face_ay"]) * size
+    return np.asarray([x1, y1, x2, y2], np.float32)
+
+
+def render_scene(
+    rng: np.random.Generator,
+    canvas: int = 128,
+    face_size_range: tuple[int, int] = (32, 96),
+    params: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A detection-training scene: one synthetic face pasted on a cluttered
+    background. Returns (uint8 image [canvas,canvas,3], box [4], lmk [5,2])."""
+    p = params or _identity_params(rng)
+    fsize = int(rng.integers(face_size_range[0], face_size_range[1] + 1))
+    # render un-shifted so the box/landmark ground truth is exact; apply
+    # photometric jitter separately
+    face = render_face(p, fsize, None)
+    light = rng.uniform(0.8, 1.2)
+    face = np.clip(face.astype(np.float32) * light + rng.normal(0, 4, face.shape), 0, 255).astype(np.uint8)
+    # background: blurred noise + random rectangles (clutter)
+    bg = rng.uniform(0, 0.6, (canvas // 8, canvas // 8, 3))
+    bg = np.kron(bg, np.ones((8, 8, 1)))[:canvas, :canvas]
+    for _ in range(rng.integers(0, 6)):
+        x, y = rng.integers(0, canvas, 2)
+        w, h = rng.integers(4, canvas // 3, 2)
+        bg[y : y + h, x : x + w] = rng.uniform(0, 0.8, 3)
+    img = (np.clip(bg, 0, 1) * 255).astype(np.uint8)
+    ox = int(rng.integers(0, canvas - fsize + 1))
+    oy = int(rng.integers(0, canvas - fsize + 1))
+    img[oy : oy + fsize, ox : ox + fsize] = face
+    off = np.asarray([ox, oy], np.float32)
+    box = face_bbox(p, fsize) + np.concatenate([off, off])
+    lmk = face_landmarks(p, fsize) + off
+    return img, box, lmk
+
+
 def make_synthetic_arrays(
     num_classes: int = 4, per_class: int = 8, size: int = 64, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:

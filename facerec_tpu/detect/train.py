@@ -1,0 +1,199 @@
+"""MTCNN trainer on synthetic scenes.
+
+The reference relies on facenet-pytorch's pretrained MTCNN weights, which are
+not available offline. This trainer produces working detector weights
+hermetically: synthetic face scenes with exact box/landmark ground truth
+(data/synthetic.py render_scene) drive the classic MTCNN training recipe
+(Zhang et al. 2016): per-net sample mining into positives (IoU>=0.65,
+classification + box regression), parts (0.4<=IoU<0.65, regression only) and
+negatives (IoU<0.3, classification only); O-Net adds 5-point landmark
+regression. Each net trains independently with Adam under jit.
+
+Outputs land in ``outputs/detector/{pnet,rnet,onet}.npz`` — the default
+weight path (detect/weights.py), used by preprocessing, serving and the demo.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from facerec_tpu.config import logger
+from facerec_tpu.data.synthetic import render_scene
+from facerec_tpu.detect.mtcnn import ONet, PNet, RNet
+from facerec_tpu.detect.weights import DEFAULT_DIR, save_detector_params
+
+
+def _iou(box_a: np.ndarray, box_b: np.ndarray) -> float:
+    x1 = max(box_a[0], box_b[0]); y1 = max(box_a[1], box_b[1])
+    x2 = min(box_a[2], box_b[2]); y2 = min(box_a[3], box_b[3])
+    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+    aa = (box_a[2] - box_a[0]) * (box_a[3] - box_a[1])
+    ab = (box_b[2] - box_b[0]) * (box_b[3] - box_b[1])
+    return inter / max(aa + ab - inter, 1e-9)
+
+
+def _crop(img: np.ndarray, box: np.ndarray, size: int) -> np.ndarray:
+    from PIL import Image
+
+    x1, y1, x2, y2 = [int(round(v)) for v in box]
+    h, w = img.shape[:2]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2, y2 = min(max(x2, x1 + 1), w), min(max(y2, y1 + 1), h)
+    patch = img[y1:y2, x1:x2]
+    return np.asarray(Image.fromarray(patch).resize((size, size), Image.BILINEAR), np.uint8)
+
+
+def make_training_samples(
+    n_scenes: int, size: int, seed: int = 0, with_landmarks: bool = False,
+    canvas: int = 128,
+) -> dict[str, np.ndarray]:
+    """Mine pos/part/neg patches from synthetic scenes.
+
+    Returns arrays: image [N,size,size,3] f32 (MTCNN normalization applied),
+    cls_label [N] (1 face / 0 nonface), cls_mask, reg_target [N,4], reg_mask,
+    (lmk_target [N,10], lmk_mask when with_landmarks).
+    """
+    rng = np.random.default_rng(seed)
+    imgs, cls_l, cls_m, reg_t, reg_m, lmk_t, lmk_m = [], [], [], [], [], [], []
+
+    def add(patch, cls, cm, reg=(0, 0, 0, 0), rm=0.0, lmk=None):
+        imgs.append((patch.astype(np.float32) - 127.5) / 128.0)
+        cls_l.append(cls)
+        cls_m.append(cm)
+        reg_t.append(reg)
+        reg_m.append(rm)
+        lmk_t.append(lmk if lmk is not None else np.zeros(10, np.float32))
+        lmk_m.append(0.0 if lmk is None else 1.0)
+
+    for _ in range(n_scenes):
+        img, box, lmk = render_scene(rng, canvas=canvas)
+        bw, bh = box[2] - box[0], box[3] - box[1]
+        side = max(bw, bh)
+        cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+        # positives + parts: jittered square crops around the face
+        for _ in range(3):
+            js = side * rng.uniform(0.85, 1.15)
+            jx = cx + rng.uniform(-0.2, 0.2) * side
+            jy = cy + rng.uniform(-0.2, 0.2) * side
+            crop_box = np.asarray([jx - js / 2, jy - js / 2, jx + js / 2, jy + js / 2])
+            iou = _iou(crop_box, box)
+            if iou < 0.4:
+                continue
+            patch = _crop(img, crop_box, size)
+            # regression targets: true box offsets relative to crop (normalized)
+            reg = np.asarray([
+                (box[0] - crop_box[0]) / js, (box[1] - crop_box[1]) / js,
+                (box[2] - crop_box[2]) / js, (box[3] - crop_box[3]) / js,
+            ], np.float32)
+            if iou >= 0.65:
+                lm = None
+                if with_landmarks:
+                    lm = np.concatenate([
+                        (lmk[:, 0] - crop_box[0]) / js, (lmk[:, 1] - crop_box[1]) / js,
+                    ]).astype(np.float32)
+                add(patch, 1, 1.0, reg, 1.0, lm)
+            else:  # part face: regression only
+                add(patch, 0, 0.0, reg, 1.0)
+        # negatives: random crops with low IoU
+        tries = 0
+        negs = 0
+        while negs < 3 and tries < 20:
+            tries += 1
+            js = rng.uniform(12, canvas * 0.6)
+            jx = rng.uniform(0, canvas - js)
+            jy = rng.uniform(0, canvas - js)
+            crop_box = np.asarray([jx, jy, jx + js, jy + js])
+            if _iou(crop_box, box) < 0.3:
+                add(_crop(img, crop_box, size), 0, 1.0)
+                negs += 1
+    out = {
+        "image": np.stack(imgs), "cls_label": np.asarray(cls_l, np.int32),
+        "cls_mask": np.asarray(cls_m, np.float32),
+        "reg_target": np.asarray(reg_t, np.float32), "reg_mask": np.asarray(reg_m, np.float32),
+    }
+    if with_landmarks:
+        out["lmk_target"] = np.stack(lmk_t)
+        out["lmk_mask"] = np.asarray(lmk_m, np.float32)
+    return out
+
+
+def _net_loss(outputs, batch, with_landmarks: bool):
+    if with_landmarks:
+        prob, reg, lmk = outputs
+    else:
+        prob, reg = outputs
+        lmk = None
+    if prob.ndim > 1:  # P-Net fully-conv: center cell
+        prob = prob.reshape(prob.shape[0], -1)[:, 0]
+        reg = reg.reshape(reg.shape[0], -1, 4)[:, 0]
+    eps = 1e-7
+    p = jnp.clip(prob, eps, 1 - eps)
+    y = batch["cls_label"].astype(jnp.float32)
+    cls = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+    cls = jnp.sum(cls * batch["cls_mask"]) / jnp.maximum(jnp.sum(batch["cls_mask"]), 1)
+    reg_l = jnp.sum((reg - batch["reg_target"]) ** 2, axis=-1)
+    reg_l = jnp.sum(reg_l * batch["reg_mask"]) / jnp.maximum(jnp.sum(batch["reg_mask"]), 1)
+    loss = cls + 0.5 * reg_l
+    if lmk is not None and "lmk_target" in batch:
+        lmk_l = jnp.sum((lmk - batch["lmk_target"]) ** 2, axis=-1)
+        lmk_l = jnp.sum(lmk_l * batch["lmk_mask"]) / jnp.maximum(jnp.sum(batch["lmk_mask"]), 1)
+        loss = loss + lmk_l
+    return loss, cls
+
+
+def train_net(net, size: int, n_scenes: int, steps: int, batch_size: int = 256,
+              lr: float = 1e-3, seed: int = 0, with_landmarks: bool = False):
+    data = make_training_samples(n_scenes, size, seed, with_landmarks)
+    n = len(data["image"])
+    params = net.init(jax.random.key(seed), jnp.zeros((1, size, size, 3)))["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            out = net.apply({"params": p}, batch["image"])
+            return _net_loss(out, batch, with_landmarks)
+
+        (loss, cls), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss, cls
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for i in range(steps):
+        idx = rng.integers(0, n, batch_size)
+        batch = {k: jnp.asarray(v[idx]) for k, v in data.items()}
+        params, opt_state, loss, cls = step(params, opt_state, batch)
+        if (i + 1) % max(steps // 5, 1) == 0:
+            logger.info("  step %d/%d loss=%.4f cls=%.4f", i + 1, steps, float(loss), float(cls))
+    logger.info("trained %s in %.1fs (%d samples)", type(net).__name__, time.time() - t0, n)
+    return params
+
+
+def train_detector(
+    out_dir: str | Path = DEFAULT_DIR,
+    n_scenes: int = 1500,
+    steps: int = 600,
+    seed: int = 0,
+) -> Path:
+    """Train all three nets and save weights to the default detector path."""
+    logger.info("training P-Net...")
+    pnet = train_net(PNet(), 12, n_scenes, steps, seed=seed)
+    logger.info("training R-Net...")
+    rnet = train_net(RNet(), 24, n_scenes, steps, seed=seed + 1)
+    logger.info("training O-Net...")
+    onet = train_net(ONet(), 48, n_scenes, steps, seed=seed + 2, with_landmarks=True)
+    path = save_detector_params({"pnet": pnet, "rnet": rnet, "onet": onet}, out_dir)
+    logger.info("detector weights saved to %s", path)
+    return path
+
+
+if __name__ == "__main__":
+    train_detector()

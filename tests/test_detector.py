@@ -1,0 +1,62 @@
+"""MTCNN end-to-end quality: train tiny nets on synthetic scenes in-test and
+require real detections (the full-size training run reaches IoU ~0.92;
+this smoke-scale version must clear a lower bar)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facerec_tpu.data.synthetic import face_bbox, face_landmarks, render_scene
+from facerec_tpu.detect.mtcnn import MTCNN, ONet, PNet, RNet
+from facerec_tpu.detect.train import _iou, make_training_samples, train_net
+
+
+def test_scene_ground_truth():
+    rng = np.random.default_rng(0)
+    img, box, lmk = render_scene(rng, canvas=96)
+    assert img.shape == (96, 96, 3)
+    assert box[2] > box[0] and box[3] > box[1]
+    # landmarks inside the box
+    assert np.all(lmk[:, 0] >= box[0] - 2) and np.all(lmk[:, 0] <= box[2] + 2)
+    # eyes above mouth
+    assert lmk[0, 1] < lmk[3, 1] and lmk[1, 1] < lmk[4, 1]
+
+
+def test_sample_mining_labels():
+    d = make_training_samples(40, 12, seed=1)
+    pos = d["cls_label"] == 1
+    assert pos.any() and (~pos).any()
+    # positives carry regression targets
+    assert np.all(d["reg_mask"][pos & (d["cls_mask"] == 1)] == 1)
+    # regression offsets are small fractions of the crop
+    assert np.abs(d["reg_target"][d["reg_mask"] == 1]).max() < 1.0
+    d2 = make_training_samples(10, 48, seed=2, with_landmarks=True)
+    assert "lmk_target" in d2 and d2["lmk_mask"].sum() > 0
+
+
+@pytest.mark.slow
+def test_detector_trains_and_detects():
+    pnet = train_net(PNet(), 12, 150, 120, seed=0)
+    rnet = train_net(RNet(), 24, 150, 120, seed=1)
+    onet = train_net(ONet(), 48, 150, 120, seed=2, with_landmarks=True)
+    params = {"pnet": pnet, "rnet": rnet, "onet": onet}
+    det = MTCNN((96, 96), min_face_size=24, thresholds=(0.6, 0.7, 0.7), max_faces=4,
+                k_pnet=32, k_rnet=16)
+    rng = np.random.default_rng(77)
+    scenes, boxes = [], []
+    for _ in range(16):
+        img, box, _ = render_scene(rng, canvas=96, face_size_range=(32, 72))
+        scenes.append(img)
+        boxes.append(box)
+    out = det.detect(params, jnp.asarray(np.stack(scenes), jnp.float32))
+    found, ious = 0, []
+    for i in range(16):
+        v = np.asarray(out.valid[i])
+        if not v.any():
+            continue
+        found += 1
+        bi = int(np.argmax(np.asarray(out.probs[i]) * v))
+        ious.append(_iou(np.asarray(out.boxes[i, bi]), boxes[i]))
+    assert found >= 10, f"only detected {found}/16"
+    assert np.mean(ious) > 0.4, f"mean IoU {np.mean(ious):.3f}"

@@ -1,0 +1,110 @@
+"""Multi-chip sharding tests on the 8-device virtual mesh: mesh construction,
+sharded-gallery top-k merge under shard_map, DP gradient equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from facerec_tpu.config import MeshConfig
+from facerec_tpu.parallel.collectives import global_topk_merge
+from facerec_tpu.parallel.mesh import build_mesh, pad_to_multiple, shard_batch, shard_params
+
+
+def test_build_mesh_shapes():
+    m = build_mesh(MeshConfig())
+    assert m.devices.shape == (8, 1)
+    m2 = build_mesh(MeshConfig(model_parallel=2))
+    assert m2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(model_parallel=3))
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+
+
+def test_pad_to_multiple():
+    batch = {"x": np.ones((5, 3)), "y": np.arange(5)}
+    padded, n = pad_to_multiple(batch, 8)
+    assert n == 5
+    assert padded["x"].shape == (8, 3)
+    assert padded["y"].shape == (8,)
+    same, n2 = pad_to_multiple({"x": np.ones((8, 2))}, 8)
+    assert n2 == 8 and same["x"].shape == (8, 2)
+
+
+def test_sharded_gallery_topk_merge():
+    """Gallery rows sharded over the 'model' axis; per-shard top-k merged via
+    all-gather must equal the unsharded answer (SURVEY.md 2.2 TP row)."""
+    n_dev = jax.device_count()
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, n_dev), ("data", "model"))
+    rng = np.random.default_rng(0)
+    d, rows = 64, 16 * n_dev
+    gallery = rng.normal(size=(rows, d)).astype(np.float32)
+    queries = rng.normal(size=(4, d)).astype(np.float32)
+    k = 5
+
+    shard_map = jax.shard_map
+
+    def shard_fn(q, g):  # q replicated [4, d], g local shard [rows/n, d]
+        scores = q @ g.T  # [4, rows/n]
+        local_v, local_i = jax.lax.top_k(scores, k)
+        return global_topk_merge(local_v, local_i, k, axis_name="model")
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P("model", None)),
+                   out_specs=(P(), P(), P()), check_vma=False)
+    vals, idx, shard_ids = fn(jnp.asarray(queries), jnp.asarray(gallery))
+    rows_per = rows // n_dev
+    global_idx = np.asarray(shard_ids) * rows_per + np.asarray(idx)
+
+    full = queries @ gallery.T
+    ev, ei = jax.lax.top_k(jnp.asarray(full), k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ev), atol=1e-5)
+    np.testing.assert_array_equal(global_idx, np.asarray(ei))
+
+
+def test_dp_gradients_match_single_device():
+    """The GSPMD DP train step must produce the same loss/grad as an
+    unsharded run (the psum XLA inserts is exact)."""
+    import optax
+
+    from facerec_tpu.config import OptimizerConfig, TrainConfig
+    from facerec_tpu.models import get_model
+    from facerec_tpu.train.state import create_train_state
+    from facerec_tpu.train.steps import make_train_step
+
+    # SGD so the parameter delta IS the gradient (Adam's rsqrt(v) at step one
+    # amplifies f32 reduction-order noise into sign-level differences)
+    cfg = TrainConfig(model_type="baseline", batch_size=16, image_size=16,
+                      compute_dtype="float32",
+                      optimizer=OptimizerConfig(name="sgd", momentum=0.0, learning_rate=1e-2,
+                                                use_grad_clip=False))
+    model = get_model("baseline", num_classes=3)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(16, 16, 16, 3)).astype(np.float32),
+        "label": rng.integers(0, 3, 16).astype(np.int32),
+        "mask": np.ones(16, np.float32),
+    }
+    step = make_train_step(model, "baseline")
+
+    def run(shard: bool):
+        state = create_train_state(model, batch, cfg, "baseline", jax.random.key(0))
+        if shard:
+            mesh = build_mesh(MeshConfig())
+            state = shard_params(state, mesh)
+            b = shard_batch(batch, mesh)
+        else:
+            b = jax.device_put(batch, jax.devices()[0])
+            state = jax.device_put(state, jax.devices()[0])
+        new_state, metrics = jax.jit(step)(state, b)
+        return jax.device_get(metrics), jax.device_get(new_state.params)
+
+    m1, p1 = run(False)
+    m2, p2 = run(True)
+    assert m1["loss_sum"] == pytest.approx(m2["loss_sum"], rel=1e-4)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, atol=1e-4)
