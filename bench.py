@@ -24,6 +24,31 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
 
 
+def _face_frames(batch: int, frame_hw: tuple[int, int], faces_per_frame: int, rng):
+    """Frames genuinely containing faces so the detector finds real boxes and
+    the align/embed path does representative gather work (empty frames take a
+    degenerate all-default-boxes fast path and time ~60x faster)."""
+    import numpy as np
+
+    from facerec_tpu.data.synthetic import _identity_params, render_face
+
+    h, w = frame_hw
+    frames = rng.uniform(0, 80, size=(batch, h, w, 3)).astype(np.float32)
+    cols = int(np.ceil(np.sqrt(faces_per_frame)))
+    rows = int(np.ceil(faces_per_frame / cols))
+    cell_h, cell_w = h // rows, w // cols
+    for b in range(batch):
+        for f in range(faces_per_frame):
+            p = _identity_params(rng)
+            size = int(rng.integers(64, min(cell_h, cell_w)))
+            face = render_face(p, size, np.random.default_rng(b * 100 + f))
+            r, c = divmod(f, cols)
+            oy = r * cell_h + int(rng.integers(0, max(cell_h - size, 1)))
+            ox = c * cell_w + int(rng.integers(0, max(cell_w - size, 1)))
+            frames[b, oy : oy + size, ox : ox + size] = face
+    return frames
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -41,7 +66,12 @@ def main() -> None:
 
     detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
                      k_pnet=64, k_rnet=32, dtype=jnp.bfloat16)
-    det_params = detector.init(jax.random.key(0))
+    try:
+        from facerec_tpu.detect.weights import load_detector_params
+
+        det_params = load_detector_params()
+    except FileNotFoundError:
+        det_params = detector.init(jax.random.key(0))
 
     embedder = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
     ex = jnp.zeros((1, cfg.embed_size, cfg.embed_size, 3), jnp.float32)
@@ -49,15 +79,16 @@ def main() -> None:
                           ex, labels=jnp.zeros(1, jnp.int32), train=True)
     evars = {"params": evars["params"], "batch_stats": evars.get("batch_stats", {})}
 
-    def embed_fn(x):
-        return embedder.apply(evars, x, method="embed")
+    def embed_fn(variables, x):
+        return embedder.apply(variables, x, method="embed")
 
-    pipe = FacePipeline(cfg, frame_hw, detector, det_params, embed_fn, embed_dim=512)
+    pipe = FacePipeline(cfg, frame_hw, detector, det_params, embed_fn, embed_dim=512,
+                        embed_variables=evars)
     rng = np.random.default_rng(0)
     for i in range(512):  # populated gallery
         pipe.gallery.add(f"id_{i}", rng.normal(size=512).astype(np.float32))
 
-    frames = rng.uniform(0, 255, size=(batch, *frame_hw, 3)).astype(np.float32)
+    frames = _face_frames(batch, frame_hw, cfg.max_faces, rng)
     t0 = time.time()
     stats = pipe.benchmark(frames, iters=20)
     compile_note = time.time() - t0

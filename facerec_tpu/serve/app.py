@@ -60,8 +60,8 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
         net = InceptionResnetV1(dtype=jnp.bfloat16)
         variables = convert_inception_resnet_v1(load_torch_state_dict(facenet_path))
 
-        def embed_fn(x):
-            return net.apply(variables, fixed_standardize(x))
+        def embed_fn(v, x):
+            return net.apply(v, fixed_standardize(x))
     else:
         from facerec_tpu.models import get_model
         from facerec_tpu.train.checkpoints import load_checkpoint
@@ -77,10 +77,11 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
             variables = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
             logger.warning("no embedder checkpoint — using random-init ArcFace embedder")
 
-        def embed_fn(x):
-            return net.apply(variables, x, method="embed")
+        def embed_fn(v, x):
+            return net.apply(v, x, method="embed")
 
-    pipe = FacePipeline(config, frame_hw, detector, det_params, embed_fn, embed_dim=512)
+    pipe = FacePipeline(config, frame_hw, detector, det_params, embed_fn, embed_dim=512,
+                        embed_variables=variables)
     loaded = GalleryStore.load(FACE_REFERENCES_DIR, capacity=config.gallery_capacity)
     if loaded.count:
         pipe.gallery = loaded

@@ -137,3 +137,14 @@ def test_criterion_selection():
         assert callable(get_criterion(t))
     with pytest.raises(ValueError):
         get_criterion("nope")
+
+
+def test_inception_resnet_v1_contract():
+    from facerec_tpu.models.facenet import InceptionResnetV1, fixed_standardize
+
+    m = InceptionResnetV1()
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (2, 160, 160, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, fixed_standardize(x))
+    emb = m.apply(v, fixed_standardize(x))
+    assert emb.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-4)
