@@ -245,9 +245,10 @@ def main(argv: list[str] | None = None) -> int:
 
         nc = ImageFolderIndex.build(test_dir).num_classes
         cfg = EvalConfig(model_type=args.model_type, model_name=args.model_name)
+        from facerec_tpu.config import CHECKPOINTS_DIR
+
         model, variables, _, _ = _load_model_for_eval(
-            args.model_type, args.model_name or args.model_type, nc, cfg,
-            __import__("facerec_tpu.config", fromlist=["CHECKPOINTS_DIR"]).CHECKPOINTS_DIR)
+            args.model_type, args.model_name or args.model_type, nc, cfg, CHECKPOINTS_DIR)
         print(json.dumps(generate_visualization_report(model, variables, args.model_type, test_dir),
                          indent=2))
         return 0

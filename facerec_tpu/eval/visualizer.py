@@ -104,3 +104,17 @@ def generate_visualization_report(model, variables, model_type: str, test_dir: s
     index = ImageFolderIndex.build(test_dir)
     viz = EmbeddingVisualizer(model, variables, model_type, image_size)
     return viz.export(index, out_dir)
+
+
+if __name__ == "__main__":  # reference visualizer.py:371-388 CLI
+    import argparse
+
+    from facerec_tpu.cli.main import main as cli_main
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-type", default="siamese")
+    p.add_argument("--model-name", default=None)
+    p.add_argument("--dataset", required=True)
+    a = p.parse_args()
+    cli_main(["visualize", "--model-type", a.model_type, "--dataset", a.dataset]
+             + (["--model-name", a.model_name] if a.model_name else []))

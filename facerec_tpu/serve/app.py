@@ -31,7 +31,7 @@ from facerec_tpu.serve.pipeline import FacePipeline, FaceTracker
 
 def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
                            config: ServeConfig = ServeConfig(),
-                           embedder_checkpoint: str | None = None) -> FacePipeline:
+                           embedder_checkpoint: str | None = "arcface_synth") -> FacePipeline:
     """Assemble detector + embedder. Embedder resolution order:
     converted InceptionResnetV1 weights (FACEREC_FACENET_WEIGHTS .pt/.npz),
     then a trained ArcFace checkpoint, then random-init ArcFace (demo still

@@ -63,11 +63,25 @@ def _make_batchers(data_dir: Path, config: TrainConfig, split_seeds: int = 0):
                 fixed_pairs=(split != "train"), seed=config.seed + split_seeds,
             )
         else:
-            out[split] = ClassificationBatcher(
+            out[split] = _classification_batcher(
                 index, config.batch_size, config.image_size,
                 shuffle=(split == "train"), seed=config.seed + split_seeds,
             )
     return out, num_classes
+
+
+def _classification_batcher(index, batch_size, image_size, shuffle, seed):
+    """Prefer the native C++ loader (threaded libjpeg decode) when the
+    extension builds; fall back to the Python/PIL batcher."""
+    try:
+        from facerec_tpu.data.native_loader import NativeClassificationBatcher, available
+
+        if available() and all(p.suffix.lower() in (".jpg", ".jpeg") for p in index.paths):
+            return NativeClassificationBatcher(index, batch_size, image_size,
+                                               shuffle=shuffle, seed=seed)
+    except Exception:
+        pass
+    return ClassificationBatcher(index, batch_size, image_size, shuffle=shuffle, seed=seed)
 
 
 def _run_epoch(step_fn, state, batcher, mesh, epoch, train: bool, max_batches: int = 0,

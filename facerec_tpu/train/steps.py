@@ -130,9 +130,6 @@ def jit_steps(model, model_type: str, mesh: Mesh, siamese_threshold: float = 0.5
     sharded on the data axis, donated state buffers."""
     repl = NamedSharding(mesh, P())
 
-    def _bspec(x):
-        return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-
     train_step = jax.jit(
         make_train_step(model, model_type, siamese_threshold),
         donate_argnums=0,
