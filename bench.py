@@ -1,7 +1,9 @@
 """Benchmark: end-to-end detect->align->embed->match throughput on one chip.
 
-Timing methodology: device-resident inputs, per-iteration traced salt (the
-runtime caches identical-input executions).
+Timing methodology: distinct device-resident input batches + dispatch-chain
+slope timing (see serve/pipeline.py benchmark docstring — the runtime caches
+identical-input executions, block_until_ready does not truly block, and each
+host materialization costs a ~30 ms round trip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.json / BASELINE.md): >=5,000 aligned faces/sec/chip

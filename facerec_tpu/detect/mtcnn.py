@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from facerec_tpu.ops.image import crop_and_resize_from, resize_bilinear
+from facerec_tpu.ops.warp_fast import crop_resize_matmul
 from facerec_tpu.ops.nms import nms
 
 
@@ -237,14 +238,26 @@ class MTCNN:
             reg_k = jnp.take_along_axis(reg_flat, top_i[..., None], axis=1)
             boxes = _apply_regression(boxes, reg_k)
             valid = top_p > self.thresholds[0]
-            # per-scale NMS 0.5
-            bx, sc, vl, _ = jax.vmap(lambda bb, ss, vv: nms(bb, ss, vv, 0.5, "union"))(boxes, top_p, valid)
-            all_boxes.append(bx)
-            all_scores.append(sc)
-            all_valid.append(vl)
-        boxes = jnp.concatenate(all_boxes, axis=1)
-        scores = jnp.concatenate(all_scores, axis=1)
-        valid = jnp.concatenate(all_valid, axis=1)
+            if boxes.shape[1] < self.k_pnet:  # pad small pyramid levels
+                pad = self.k_pnet - boxes.shape[1]
+                boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+                top_p = jnp.pad(top_p, ((0, 0), (0, pad)))
+                valid = jnp.pad(valid, ((0, 0), (0, pad)))
+            all_boxes.append(boxes)
+            all_scores.append(top_p)
+            all_valid.append(valid)
+        # per-scale NMS 0.5, batched over (frame, scale) in ONE vmapped call
+        # (sequential NMS rounds are the cascade's latency driver; keeping one
+        # selection loop of k_keep steps instead of n_scales separate loops)
+        k_keep = min(self.k_pnet, self.k_rnet)
+        sb = jnp.stack(all_boxes, axis=1)  # [B, S, k, 4]
+        ss = jnp.stack(all_scores, axis=1)
+        sv = jnp.stack(all_valid, axis=1)
+        bx, sc, vl, _ = jax.vmap(jax.vmap(
+            lambda bb, s_, vv: nms(bb, s_, vv, 0.5, "union", k_keep)))(sb, ss, sv)
+        boxes = bx.reshape(b, -1, 4)
+        scores = sc.reshape(b, -1)
+        valid = vl.reshape(b, -1)
         # cross-scale NMS 0.7, keep top k_rnet
         boxes, scores, valid, _ = jax.vmap(
             lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.k_rnet)
@@ -252,7 +265,7 @@ class MTCNN:
         boxes = _square(boxes)
 
         # ---- stage 2: R-Net ---------------------------------------------------
-        crops = jax.vmap(lambda im, bx: crop_and_resize_from(im, bx, (24, 24)))(xn, boxes)
+        crops = jax.vmap(lambda im, bx: crop_resize_matmul(im, bx, 24))(xn, boxes)
         rp, rreg = self.rnet.apply({"params": params["rnet"]}, crops.reshape(-1, 24, 24, 3))
         rp = rp.reshape(b, self.k_rnet)
         rreg = rreg.reshape(b, self.k_rnet, 4)
@@ -265,7 +278,7 @@ class MTCNN:
 
         # ---- stage 3: O-Net ---------------------------------------------------
         mf = self.max_faces
-        crops = jax.vmap(lambda im, bx: crop_and_resize_from(im, bx, (48, 48)))(xn, boxes)
+        crops = jax.vmap(lambda im, bx: crop_resize_matmul(im, bx, 48))(xn, boxes)
         op, oreg, olmk = self.onet.apply({"params": params["onet"]}, crops.reshape(-1, 48, 48, 3))
         op = op.reshape(b, mf)
         oreg = oreg.reshape(b, mf, 4)

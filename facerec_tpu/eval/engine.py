@@ -102,10 +102,16 @@ def evaluate_model(
 
 def _timed_batches(apply_fn, batcher, mesh):
     """Yield (host_outputs, batch, seconds) with device sync for honest
-    latency numbers (reference testing.py:163-178)."""
+    latency numbers (reference testing.py:163-178). The first batch is
+    re-run once after compilation so its timing reflects execution, not the
+    compile (otherwise a single-batch test split reports compile time)."""
     from facerec_tpu.data.pipeline import prefetch_to_device
 
+    first = True
     for batch in prefetch_to_device(batcher.epoch(0), mesh):
+        if first:
+            jax.block_until_ready(apply_fn(batch))  # compile warmup
+            first = False
         t0 = time.perf_counter()
         out = apply_fn(batch)
         out = jax.block_until_ready(out)

@@ -51,24 +51,27 @@ def nms(
     with suppressed/invalid entries masked out (and, if max_out, truncated to
     the top max_out slots)."""
     n = boxes.shape[0]
-    neg = jnp.asarray(-jnp.inf, scores.dtype)
-    masked_scores = jnp.where(valid, scores, neg)
-    order = jnp.argsort(-masked_scores)
-    b = boxes[order]
-    s = masked_scores[order]
-    v = valid[order]
-    ov = overlap_matrix(b, mode)
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    s0 = jnp.where(valid, scores.astype(jnp.float32), neg)
+    ov = overlap_matrix(boxes, mode)
+    m = max_out if max_out is not None else n
+    m = min(m, n)
 
-    def body(i, keep):
-        sup = (ov[i] > threshold) & (jnp.arange(n) > i) & keep[i]
-        return keep & ~sup
+    # Selection loop over OUTPUT slots (m << n sequential steps, vs the
+    # classic loop over all n candidates): each round takes the best
+    # remaining candidate and suppresses its overlaps in one vector op.
+    def body(_, carry):
+        remaining, out_idx, out_keep, t = carry
+        i = jnp.argmax(remaining)
+        ok = remaining[i] > neg
+        out_idx = out_idx.at[t].set(jnp.where(ok, i, 0))
+        out_keep = out_keep.at[t].set(ok)
+        sup = (ov[i] > threshold) | (jnp.arange(n) == i)
+        remaining = jnp.where(ok & sup, neg, remaining)
+        return remaining, out_idx, out_keep, t + 1
 
-    keep = jax.lax.fori_loop(0, n, body, v)
-    s = jnp.where(keep, s, neg)
-    # compact survivors to the front (stable by score)
-    order2 = jnp.argsort(-s)
-    b, s, keep = b[order2], s[order2], keep[order2]
-    idx = order[order2]
-    if max_out is not None and max_out < n:
-        b, s, keep, idx = b[:max_out], s[:max_out], keep[:max_out], idx[:max_out]
-    return b, jnp.where(keep, s, 0.0), keep, idx
+    init = (s0, jnp.zeros(m, jnp.int32), jnp.zeros(m, bool), 0)
+    _, idx, keep, _ = jax.lax.fori_loop(0, m, body, init)
+    b = boxes[idx]
+    s = jnp.where(keep, scores.astype(jnp.float32)[idx], 0.0)
+    return b, s, keep, idx

@@ -30,6 +30,7 @@ from facerec_tpu.detect.mtcnn import MTCNN, Detections
 from facerec_tpu.ops.arcface import l2_normalize
 from facerec_tpu.ops.gallery import cosine_to_euclidean, gallery_topk_pallas, gallery_topk_xla
 from facerec_tpu.ops.image import align_and_crop_from, bbox_with_margin
+from facerec_tpu.ops.warp_fast import align_and_crop_fast
 from facerec_tpu.serve.gallery import GalleryStore
 
 
@@ -63,6 +64,7 @@ class FacePipeline:
         embed_dim: int = 512,
         face_margin: float = 0.0,
         embed_variables: Any = None,
+        precise_align: bool = False,
     ):
         """``embed_fn``: either ``f(images) -> emb`` (weights closed over) or,
         when ``embed_variables`` is given, ``f(variables, images) -> emb``.
@@ -73,11 +75,15 @@ class FacePipeline:
         self.config = config
         self.frame_hw = frame_hw
         self.detector = detector
-        self.detector_params = detector_params
+        # device_put ONCE: weights passed as jit arguments from host numpy
+        # would otherwise be re-transferred every call (~2 MB/step through
+        # the tunnel dominated a measured benchmark run)
+        self.detector_params = jax.device_put(detector_params)
         self.embed_fn = embed_fn
-        self.embed_variables = embed_variables
+        self.embed_variables = None if embed_variables is None else jax.device_put(embed_variables)
         self.embed_dim = embed_dim
         self.face_margin = face_margin
+        self.precise_align = precise_align
         self.gallery = GalleryStore(capacity=config.gallery_capacity, dim=embed_dim)
         self._step_raw = self._build_step()
         self._step = lambda frames, gallery, count: self._step_raw(
@@ -92,6 +98,10 @@ class FacePipeline:
         margin = self.face_margin
         frame_hw = self.frame_hw
         use_pallas = jax.default_backend() == "tpu"
+        # gather-free matmul+shear warp by default (14x faster on TPU than the
+        # exact per-pixel gather warp; ops/warp_fast.py); precise_align keeps
+        # the exact path for checkpoint-parity evaluation
+        align = align_and_crop_from if self.precise_align else align_and_crop_fast
 
         @jax.jit
         def step(frames: jnp.ndarray, gallery: jnp.ndarray, count: jnp.ndarray,
@@ -120,7 +130,7 @@ class FacePipeline:
                                                [50.0, 120.0], [110.0, 120.0]]))
             # fused align (eye landmarks) + crop + resize, one warp per face
             crops = jax.vmap(
-                lambda img, bx, lm: align_and_crop_from(img, bx, lm, cfg.embed_size)
+                lambda img, bx, lm: align(img, bx, lm, cfg.embed_size)
             )(frames.astype(jnp.float32), boxes, landmarks)
             crops = crops.reshape(b * f, cfg.embed_size, cfg.embed_size, 3)
             emb = embed_fn(embed_vars, crops) if has_vars else embed_fn(crops)  # [B*F, D]
@@ -179,33 +189,48 @@ class FacePipeline:
         step_raw = self._step_raw
         det_params = self.detector_params
         embed_vars = self.embed_variables if self.embed_variables is not None else ()
-        # Distinct device-resident input batches (one per iteration, so the
-        # runtime's identical-input execution cache can never hit), per-call
-        # sync, median time.
-        iters = min(iters, 20)
+        # Timing methodology (all of these were measured to matter on the
+        # remote-attached TPU runtime):
+        #  * distinct device-resident input batches per call — identical
+        #    inputs are served from an execution cache (time ~0);
+        #  * compute-only via the SLOPE between a short and a long run of
+        #    dispatches, materializing only the final scalar — block_until_
+        #    ready does not truly block through the runtime, and each host
+        #    materialization costs a ~30 ms round trip that would otherwise
+        #    contaminate per-call timing.
+        iters = min(max(iters, 8), 24)
         rng = np.random.default_rng(1234)
         variants = [
             jnp.asarray(np.asarray(frames, np.float32)
                         + rng.normal(0, 2.0, frames.shape).astype(np.float32))
             for _ in range(iters + 1)
         ]
-        r = step_raw(variants[-1], gallery, count, det_params, embed_vars)
-        jax.block_until_ready(r.match_scores)  # compile + warm
-        times = []
-        for i in range(iters):
-            fr = variants[i]
+
+        @jax.jit
+        def stepsum(fr, g, c, dp, ev):
+            # the reduction must live INSIDE the jit: an eager .sum() per
+            # iteration costs a ~30 ms runtime round trip each
+            return step_raw(fr, g, c, dp, ev).match_scores.sum()
+
+        def chain(n: int) -> float:
             t0 = time.perf_counter()
-            r = step_raw(fr, gallery, count, det_params, embed_vars)
-            jax.block_until_ready(r.match_scores)
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times))
+            outs = [
+                stepsum(variants[i % len(variants)], gallery, count, det_params, embed_vars)
+                for i in range(n)
+            ]
+            float(outs[-1])  # host materialization = true barrier
+            return time.perf_counter() - t0
+
+        float(stepsum(variants[-1], gallery, count, det_params, embed_vars))  # compile + warm
+        n_short = max(iters // 4, 2)
+        t_short = chain(n_short)
+        t_long = chain(iters)
+        dt = max((t_long - t_short) / (iters - n_short), 1e-6)
         b = frames.shape[0]
         return {
             "sec_per_batch": dt,
             "frames_per_sec": b / dt,
             "faces_per_sec": b * self.config.max_faces / dt,
-            "p10_ms": 1000 * float(np.percentile(times, 10)),
-            "p90_ms": 1000 * float(np.percentile(times, 90)),
         }
 
 

@@ -160,3 +160,42 @@ def test_mtcnn_cascade_contract():
     assert out.landmarks.shape == (2, 4, 5, 2)
     assert out.valid.dtype == jnp.bool_
     assert np.all(np.isfinite(np.asarray(out.boxes)))
+
+
+def test_fast_warp_matches_exact():
+    """Gather-free warp (ops/warp_fast.py) vs the exact gather warp: identical
+    for unrotated faces (up to bf16 matmul noise), >=30dB PSNR with rotation."""
+    from facerec_tpu.data.synthetic import _identity_params, render_face
+    from facerec_tpu.ops.warp_fast import align_and_crop_fast, crop_resize_matmul
+
+    rng = np.random.default_rng(0)
+    frame = np.zeros((240, 320, 3), np.float32)
+    face = render_face(_identity_params(rng), 120, None).astype(np.float32) / 255.0
+    frame[60:180, 100:220] = face
+    img = jnp.asarray(frame)
+    boxes = jnp.asarray([[100.0, 60.0, 220.0, 180.0], [92.0, 52.0, 228.0, 188.0]])
+    lmk = np.zeros((2, 5, 2), np.float32)
+    lmk[:, 0] = [135, 105]
+    lmk[:, 1] = [185, 105]
+    lmk[:, 2] = [160, 130]
+    lmk[:, 3] = [140, 150]
+    lmk[:, 4] = [180, 150]
+
+    from facerec_tpu.ops.image import align_and_crop_from, crop_and_resize_from
+
+    exact = np.asarray(align_and_crop_from(img, boxes, jnp.asarray(lmk), 96))
+    fast = np.asarray(align_and_crop_fast(img, boxes, jnp.asarray(lmk), 96))
+    assert np.abs(exact - fast).mean() < 1e-3  # level eyes: near-exact
+
+    lmk_t = lmk.copy()
+    lmk_t[:, 1, 1] += 8.0  # tilted eyes
+    exact = np.asarray(align_and_crop_from(img, boxes, jnp.asarray(lmk_t), 96))
+    fast = np.asarray(align_and_crop_fast(img, boxes, jnp.asarray(lmk_t), 96))
+    mse = float(((exact - fast) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"psnr {psnr:.1f}"
+
+    # matmul crop+resize vs gather crop+resize: bilinear-exact
+    c1 = np.asarray(crop_resize_matmul(img, boxes, 48))
+    c2 = np.asarray(crop_and_resize_from(img, boxes, (48, 48)))
+    np.testing.assert_allclose(c1, c2, atol=2e-2)  # bf16 matmul tolerance

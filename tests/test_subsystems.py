@@ -291,3 +291,33 @@ def test_process_raw_data_resize_fallback(tmp_path):
     # test_mode truncation
     out2 = process_raw_data(tmp_path / "raw", tmp_path / "proc2", cfg, test_mode=True, seed=0)
     assert (out2 / "preprocess_stats.json").exists()
+
+
+def test_multi_dataset_sequential_training(synthetic_imagefolder, tmp_path):
+    """Sequential multi-dataset training (reference training.py:447)."""
+    from facerec_tpu.data.synthetic import write_synthetic_imagefolder
+    from facerec_tpu.train.engine import train_model
+
+    ds2 = write_synthetic_imagefolder(tmp_path / "ds2", num_classes=4, per_class=6, size=64, seed=21)
+    cfg = TrainConfig(model_type="baseline", batch_size=8, epochs=1, image_size=32,
+                      compute_dtype="float32", early_stopping=False, checkpoint_every=0)
+    out = train_model(cfg, [synthetic_imagefolder, ds2], checkpoints_root=tmp_path / "ck",
+                      model_name="multi_t")
+    # one epoch per dataset -> two history rows, different dataset names
+    assert len(out["history"]) == 2
+    assert out["history"][0]["dataset"] != out["history"][1]["dataset"]
+
+
+def test_tuner_real_objective(synthetic_imagefolder, tmp_path):
+    """The default (real-training) tuner objective end-to-end, 2 tiny trials."""
+    from facerec_tpu.train.tuning import run_hyperparameter_tuning
+
+    tcfg = TuningConfig(model_type="baseline", n_trials=2, epochs_per_trial=1,
+                        pruning=False, seed=3)
+    res = run_hyperparameter_tuning(tcfg, synthetic_imagefolder, output_dir=tmp_path / "o",
+                                    base_config=TrainConfig(model_type="baseline", image_size=32,
+                                                            compute_dtype="float32"))
+    assert res["n_trials"] == 2
+    states = [t["state"] for t in res["trials"]]
+    assert states.count("COMPLETE") == 2
+    assert res["best_value"] is not None and 0.0 <= res["best_value"] <= 1.0
