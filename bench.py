@@ -62,7 +62,7 @@ def main() -> None:
     from facerec_tpu.serve.pipeline import FacePipeline
 
     frame_hw = (480, 640)
-    batch = 8
+    batch = int(os.environ.get("BENCH_BATCH", 8))
     cfg = ServeConfig(max_faces=8, gallery_capacity=1024, top_k=5, embed_size=160,
                       detection_threshold=0.0)  # thresholds don't change the compute
 

@@ -97,9 +97,9 @@ def rotate_patches(patches: jnp.ndarray, angles: jnp.ndarray, centers: jnp.ndarr
     cosp, sinp = jnp.cos(phi), jnp.sin(phi)
     cp = (p - 1) / 2.0
     # rotation center offset from the patch center, capped so the static
-    # shift windows stay small: |rc - cp| <= 0.15 P (eye centers sit near the
+    # shift windows stay small: |rc - cp| <= 0.1 P (eye centers sit near the
     # face-box center; the residual is a few px of framing shift)
-    cap = 0.15 * p
+    cap = 0.1 * p
     rcx = jnp.clip(centers[:, 0] - cp, -cap, cap)
     rcy = jnp.clip(centers[:, 1] - cp, -cap, cap)
     # t (relative to rotation about the patch center): (I - R)(rc - cp)
@@ -125,7 +125,7 @@ def align_and_crop_fast(
     boxes: jnp.ndarray,  # [N, 4] x1y1x2y2
     landmarks: jnp.ndarray,  # [N, 5, 2] (eyes at rows 0, 1)
     out_size: int,
-    pad: float = 0.25,
+    pad: float = 0.15,
     max_angle_deg: float = 15.0,
 ) -> jnp.ndarray:
     """Gather-free counterpart of ops.image.align_and_crop_from: eye-leveling
