@@ -62,6 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--model-name", default=None)
     ev.add_argument("--dataset", default=None)
     ev.add_argument("--batch-size", type=int, default=64)
+    ev.add_argument("--image-size", type=int, default=None)
 
     pr = sub.add_parser("predict", help="predict a single image")
     pr.add_argument("--model-type", default="baseline")
@@ -197,6 +198,8 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = EvalConfig(model_type=args.model_type, model_name=args.model_name,
                          batch_size=args.batch_size)
+        if args.image_size:
+            cfg = cfg.replace(image_size=args.image_size)
         res = evaluate_model(cfg, args.dataset)
         print(json.dumps({k: v for k, v in res.items() if isinstance(v, (int, float, str))},
                          indent=2))
