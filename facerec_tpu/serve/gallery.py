@@ -1,10 +1,14 @@
 """Reference-face gallery store (reference app.py:67-123 save_refs/load_refs).
 
-Host-side bookkeeping around a capacity-padded, HBM-resident embedding matrix:
-entries occupy a valid prefix of ``capacity`` (compacted on delete) so the
-matching kernel's ``count`` mask stays a prefix (ops/gallery.py). Persistence
-keeps the reference's on-disk contract: a pickle mapping name -> embedding
-plus one JPEG per reference face in ``face_references/``.
+Host-side bookkeeping around a capacity-padded, **device-resident** embedding
+matrix: entries occupy a valid prefix of ``capacity`` (compacted on delete) so
+the matching kernel's ``count`` mask stays a prefix (ops/gallery.py). The
+matrix lives in HBM (optionally sharded over the mesh's ``model`` axis) and is
+updated functionally on add/remove — ``identify()`` never re-uploads it
+(a host-numpy gallery passed as a jit argument re-transferred ~2 MB per frame
+batch, the exact measurement trap CLAUDE.md documents). Persistence keeps the
+reference's on-disk contract: a pickle mapping name -> embedding plus one JPEG
+per reference face in ``face_references/``.
 """
 
 from __future__ import annotations
@@ -12,21 +16,41 @@ from __future__ import annotations
 import pickle
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from facerec_tpu.config import FACE_REFERENCES_DIR
 
 
 class GalleryStore:
-    def __init__(self, capacity: int = 1024, dim: int = 512):
+    """``sharding``: optional :class:`jax.sharding.NamedSharding` (e.g.
+    ``parallel.mesh.gallery_sharding``) pinning the matrix layout; mutations
+    re-place the matrix so the sharding survives functional updates."""
+
+    def __init__(self, capacity: int = 1024, dim: int = 512, sharding=None):
         self.capacity = capacity
         self.dim = dim
-        self.embeddings = np.zeros((capacity, dim), np.float32)
+        self.sharding = sharding
+        self.embeddings = self._place(jnp.zeros((capacity, dim), jnp.float32))
         self.names: list[str] = []
+        self._count_dev = jnp.asarray(0, jnp.int32)
+
+    def _place(self, arr: jnp.ndarray) -> jnp.ndarray:
+        return jax.device_put(arr, self.sharding) if self.sharding is not None else arr
 
     @property
     def count(self) -> int:
         return len(self.names)
+
+    @property
+    def count_device(self) -> jnp.ndarray:
+        """Device-resident valid-prefix length (avoids a per-call H->D scalar
+        transfer in the serve step)."""
+        return self._count_dev
+
+    def _set_count(self) -> None:
+        self._count_dev = jnp.asarray(self.count, jnp.int32)
 
     def add(self, name: str, embedding: np.ndarray) -> int:
         if self.count >= self.capacity:
@@ -35,18 +59,23 @@ class GalleryStore:
         if emb.shape[0] != self.dim:
             raise ValueError(f"expected dim {self.dim}, got {emb.shape[0]}")
         emb = emb / max(np.linalg.norm(emb), 1e-12)
-        self.embeddings[self.count] = emb
+        self.embeddings = self._place(self.embeddings.at[self.count].set(emb))
         self.names.append(name)
+        self._set_count()
         return self.count - 1
 
     def remove(self, name: str) -> bool:
         if name not in self.names:
             return False
         i = self.names.index(name)
+        c = self.count
         # compact: shift the tail down one slot so valid entries stay a prefix
-        self.embeddings[i : self.count - 1] = self.embeddings[i + 1 : self.count]
-        self.embeddings[self.count - 1] = 0
+        if i < c - 1:
+            tail = jax.lax.dynamic_slice_in_dim(self.embeddings, i + 1, c - 1 - i, 0)
+            self.embeddings = jax.lax.dynamic_update_slice_in_dim(self.embeddings, tail, i, 0)
+        self.embeddings = self._place(self.embeddings.at[c - 1].set(0.0))
         self.names.pop(i)
+        self._set_count()
         return True
 
     def rename(self, old: str, new: str) -> bool:
@@ -57,7 +86,8 @@ class GalleryStore:
 
     def clear(self) -> None:
         self.names.clear()
-        self.embeddings[:] = 0
+        self.embeddings = self._place(jnp.zeros_like(self.embeddings))
+        self._set_count()
 
     def name_of(self, index: int) -> str:
         return self.names[index] if 0 <= index < self.count else "Unknown"
@@ -66,7 +96,8 @@ class GalleryStore:
     def save(self, directory: str | Path | None = None, images: dict[str, np.ndarray] | None = None) -> Path:
         d = Path(directory or FACE_REFERENCES_DIR)
         d.mkdir(parents=True, exist_ok=True)
-        refs = {n: self.embeddings[i].copy() for i, n in enumerate(self.names)}
+        host = np.asarray(jax.device_get(self.embeddings[: self.count]))
+        refs = {n: host[i].copy() for i, n in enumerate(self.names)}
         with (d / "face_references.pkl").open("wb") as f:
             pickle.dump(refs, f)
         if images:
@@ -77,16 +108,28 @@ class GalleryStore:
         return d
 
     @classmethod
-    def load(cls, directory: str | Path | None = None, capacity: int = 1024) -> "GalleryStore":
+    def load(cls, directory: str | Path | None = None, capacity: int = 1024,
+             sharding=None) -> "GalleryStore":
         d = Path(directory or FACE_REFERENCES_DIR)
         pkl = d / "face_references.pkl"
+        if not pkl.exists():
+            return cls(capacity=capacity, sharding=sharding)
+        with pkl.open("rb") as f:
+            refs = pickle.load(f)
         store: "GalleryStore" | None = None
-        if pkl.exists():
-            with pkl.open("rb") as f:
-                refs = pickle.load(f)
-            for name, emb in refs.items():
-                emb = np.asarray(emb, np.float32).reshape(-1)
-                if store is None:
-                    store = cls(capacity=capacity, dim=emb.shape[0])
-                store.add(str(name), emb)
-        return store or cls(capacity=capacity)
+        rows: list[np.ndarray] = []
+        for name, emb in refs.items():
+            emb = np.asarray(emb, np.float32).reshape(-1)
+            if store is None:
+                store = cls(capacity=capacity, dim=emb.shape[0], sharding=sharding)
+            n = emb / max(float(np.linalg.norm(emb)), 1e-12)
+            rows.append(n)
+            store.names.append(str(name))
+        if store is None:
+            return cls(capacity=capacity, sharding=sharding)
+        # one bulk upload instead of per-row .at[].set dispatches
+        mat = np.zeros((store.capacity, store.dim), np.float32)
+        mat[: len(rows)] = np.stack(rows)
+        store.embeddings = store._place(jnp.asarray(mat))
+        store._set_count()
+        return store

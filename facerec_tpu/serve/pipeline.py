@@ -10,9 +10,13 @@ path ("detect->align->embed->match as one jit pipeline; HBM-resident
 gallery").
 
 Batch-stream design: frames are processed in fixed-size batches; each frame
-yields up to ``max_faces`` slots (masked). Throughput scales along the batch
-axis via the mesh's ``data`` axis (DP) and along the gallery axis via
-``model`` (sharded gallery + top-k merge) — SURVEY.md section 2.2.
+yields up to ``max_faces`` slots (masked). With a mesh (``mesh=`` argument),
+throughput scales along the batch axis via the ``data`` axis (GSPMD DP over
+detect/align/embed) and along the gallery axis via ``model``: the gallery
+matrix is row-sharded (parallel/mesh.py gallery_sharding), each chip runs the
+Pallas top-k over its shard under shard_map, and the per-shard winners are
+merged exactly with an O(devices*k) all-gather (parallel/collectives.py
+global_topk_merge) — SURVEY.md section 2.2 DP + TP rows.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from facerec_tpu.config import ServeConfig
 from facerec_tpu.detect.mtcnn import MTCNN, Detections
@@ -31,6 +36,8 @@ from facerec_tpu.ops.arcface import l2_normalize
 from facerec_tpu.ops.gallery import cosine_to_euclidean, gallery_topk_pallas, gallery_topk_xla
 from facerec_tpu.ops.image import align_and_crop_from, bbox_with_margin
 from facerec_tpu.ops.warp_fast import align_and_crop_fast
+from facerec_tpu.parallel.collectives import global_topk_merge
+from facerec_tpu.parallel.mesh import gallery_sharding, replicated
 from facerec_tpu.serve.gallery import GalleryStore
 
 
@@ -65,26 +72,48 @@ class FacePipeline:
         face_margin: float = 0.0,
         embed_variables: Any = None,
         precise_align: bool = False,
+        mesh: Mesh | None = None,
     ):
         """``embed_fn``: either ``f(images) -> emb`` (weights closed over) or,
         when ``embed_variables`` is given, ``f(variables, images) -> emb``.
         Prefer the latter: weights passed as jit ARGUMENTS keep the compiled
         program weight-independent, so the persistent compilation cache hits
         across processes (closed-over arrays become inlined HLO constants,
-        which both bloats compiles and busts the cache)."""
+        which both bloats compiles and busts the cache).
+
+        ``mesh``: optional (data, model) mesh. Frames are sharded over
+        ``data`` (DP detect/align/embed); the gallery is row-sharded over
+        ``model`` with an exact cross-shard top-k merge. Batch size must be a
+        multiple of the data-axis size."""
         self.config = config
         self.frame_hw = frame_hw
         self.detector = detector
+        self.mesh = mesh
+        repl = replicated(mesh) if mesh is not None else None
+        self._frame_sharding = (
+            NamedSharding(mesh, P("data", None, None, None)) if mesh is not None else None
+        )
+        gal_shard = None
+        if mesh is not None:
+            mp = mesh.shape["model"]
+            if config.gallery_capacity % max(mp, 1):
+                raise ValueError(
+                    f"gallery_capacity {config.gallery_capacity} not divisible by "
+                    f"model-axis size {mp}")
+            gal_shard = gallery_sharding(mesh) if mp > 1 else repl
         # device_put ONCE: weights passed as jit arguments from host numpy
         # would otherwise be re-transferred every call (~2 MB/step through
         # the tunnel dominated a measured benchmark run)
-        self.detector_params = jax.device_put(detector_params)
+        self.detector_params = jax.device_put(detector_params, repl)
         self.embed_fn = embed_fn
-        self.embed_variables = None if embed_variables is None else jax.device_put(embed_variables)
+        self.embed_variables = (
+            None if embed_variables is None else jax.device_put(embed_variables, repl)
+        )
         self.embed_dim = embed_dim
         self.face_margin = face_margin
         self.precise_align = precise_align
-        self.gallery = GalleryStore(capacity=config.gallery_capacity, dim=embed_dim)
+        self.gallery = GalleryStore(capacity=config.gallery_capacity, dim=embed_dim,
+                                    sharding=gal_shard)
         self._step_raw = self._build_step()
         self._step = lambda frames, gallery, count: self._step_raw(
             frames, gallery, count, self.detector_params,
@@ -102,6 +131,31 @@ class FacePipeline:
         # exact per-pixel gather warp; ops/warp_fast.py); precise_align keeps
         # the exact path for checkpoint-parity evaluation
         align = align_and_crop_from if self.precise_align else align_and_crop_fast
+        mesh = self.mesh
+        topk = gallery_topk_pallas if use_pallas else gallery_topk_xla
+        if mesh is not None and mesh.shape["model"] > 1:
+            # TP match: each chip holds a gallery row-shard; per-shard Pallas
+            # top-k then an exact O(devices*k) merge over the model axis.
+            mp = mesh.shape["model"]
+            shard_rows = cfg.gallery_capacity // mp
+
+            def _local_match(emb_l, gal_l, cnt):
+                sid = jax.lax.axis_index("model")
+                local_count = jnp.clip(cnt - sid * shard_rows, 0, shard_rows)
+                v, i = topk(emb_l, gal_l, local_count, k=cfg.top_k)
+                gv, gi, gs = global_topk_merge(v, i, cfg.top_k, axis_name="model")
+                return gv, gs * shard_rows + gi
+
+            def match(emb, gallery, count):
+                return jax.shard_map(
+                    _local_match, mesh=mesh,
+                    in_specs=(P("data", None), P("model", None), P()),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
+                )(emb, gallery, count)
+        else:
+            def match(emb, gallery, count):
+                return topk(emb, gallery, count, k=cfg.top_k)
 
         @jax.jit
         def step(frames: jnp.ndarray, gallery: jnp.ndarray, count: jnp.ndarray,
@@ -135,8 +189,7 @@ class FacePipeline:
             crops = crops.reshape(b * f, cfg.embed_size, cfg.embed_size, 3)
             emb = embed_fn(embed_vars, crops) if has_vars else embed_fn(crops)  # [B*F, D]
             emb = l2_normalize(emb.astype(jnp.float32))
-            topk = gallery_topk_pallas if use_pallas else gallery_topk_xla
-            scores, idx = topk(emb, gallery, count, k=cfg.top_k)
+            scores, idx = match(emb, gallery, count)
             dist = cosine_to_euclidean(scores)
             emb = emb.reshape(b, f, -1)
             scores = scores.reshape(b, f, cfg.top_k)
@@ -148,10 +201,13 @@ class FacePipeline:
         return step
 
     def process(self, frames: np.ndarray) -> PipelineResult:
-        """frames: [B, H, W, 3] uint8/float RGB -> device results."""
-        gallery = jnp.asarray(self.gallery.embeddings)
-        count = jnp.asarray(self.gallery.count, jnp.int32)
-        return self._step(jnp.asarray(frames, jnp.float32), gallery, count)
+        """frames: [B, H, W, 3] uint8/float RGB -> device results. The gallery
+        matrix and count stay device-resident (GalleryStore) — nothing but the
+        frames transfers per call."""
+        frames = jnp.asarray(frames, jnp.float32)
+        if self._frame_sharding is not None:
+            frames = jax.device_put(frames, self._frame_sharding)
+        return self._step(frames, self.gallery.embeddings, self.gallery.count_device)
 
     def identify(self, frames: np.ndarray) -> list[list[dict]]:
         """Host-friendly results: per frame, a list of face dicts with names
@@ -184,8 +240,8 @@ class FacePipeline:
         result caching in the runtime and constant folding (identical-input
         timing was measured to report cache hits, not compute).
         """
-        gallery = jnp.asarray(self.gallery.embeddings)
-        count = jnp.asarray(self.gallery.count, jnp.int32)
+        gallery = self.gallery.embeddings
+        count = self.gallery.count_device
         step_raw = self._step_raw
         det_params = self.detector_params
         embed_vars = self.embed_variables if self.embed_variables is not None else ()
@@ -205,6 +261,8 @@ class FacePipeline:
                         + rng.normal(0, 2.0, frames.shape).astype(np.float32))
             for _ in range(iters + 1)
         ]
+        if self._frame_sharding is not None:
+            variants = [jax.device_put(v, self._frame_sharding) for v in variants]
 
         @jax.jit
         def stepsum(fr, g, c, dp, ev):

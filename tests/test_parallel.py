@@ -108,3 +108,52 @@ def test_dp_gradients_match_single_device():
     flat2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_sharded_serve_matches_single_device():
+    """FacePipeline on a (data=2, model=4) mesh must produce the same results
+    as the single-device pipeline: DP shards the frames, TP shards the gallery
+    rows with an exact cross-shard top-k merge (VERDICT round-1 item 2)."""
+    from facerec_tpu.config import ServeConfig
+    from facerec_tpu.detect.mtcnn import MTCNN
+    from facerec_tpu.models import get_model
+    from facerec_tpu.serve.pipeline import FacePipeline
+
+    cfg = ServeConfig(max_faces=4, gallery_capacity=128, top_k=3, embed_size=32,
+                      detection_threshold=0.0, recognition_threshold=10.0)
+    det = MTCNN((96, 96), min_face_size=24, max_faces=4, k_pnet=16, k_rnet=8)
+    dp = det.init(jax.random.key(0))
+    model = get_model("baseline", num_classes=4)
+    ex = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)}, ex, train=False)
+
+    def embed_fn(x):
+        return model.apply(v, x, method="embed")
+
+    mesh = build_mesh(MeshConfig(model_parallel=4))
+    assert mesh.shape == {"data": 2, "model": 4}
+    single = FacePipeline(cfg, (96, 96), det, dp, embed_fn, embed_dim=512)
+    meshed = FacePipeline(cfg, (96, 96), det, dp, embed_fn, embed_dim=512, mesh=mesh)
+    assert meshed.gallery.sharding is not None
+    rng = np.random.default_rng(3)
+    for i in range(37):  # not a multiple of the shard size: masks must align
+        e = rng.normal(size=512)
+        single.gallery.add(f"p{i}", e)
+        meshed.gallery.add(f"p{i}", e)
+
+    frames = rng.uniform(0, 255, (2, 96, 96, 3)).astype(np.float32)
+    r1 = jax.device_get(single.process(frames))
+    r2 = jax.device_get(meshed.process(frames))
+    np.testing.assert_array_equal(np.asarray(r2.match_indices), np.asarray(r1.match_indices))
+    np.testing.assert_allclose(np.asarray(r2.match_scores), np.asarray(r1.match_scores),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r2.embeddings), np.asarray(r1.embeddings),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(r2.valid), np.asarray(r1.valid))
+
+    # gallery mutation keeps the sharded layout and matching stays exact
+    meshed.gallery.remove("p5")
+    single.gallery.remove("p5")
+    r1b = jax.device_get(single.process(frames))
+    r2b = jax.device_get(meshed.process(frames))
+    np.testing.assert_array_equal(np.asarray(r2b.match_indices), np.asarray(r1b.match_indices))
