@@ -50,6 +50,7 @@ def save_checkpoint(
         ckptr.save(path, tree)
     meta = dict(metadata or {})
     meta.setdefault("timestamp", time.strftime("%Y-%m-%dT%H:%M:%S"))
+    meta.setdefault("has_opt_state", opt_state is not None)
     (path / "metadata.json").write_text(json.dumps(meta, indent=2, default=str))
     return path
 
@@ -73,6 +74,24 @@ def load_checkpoint(ckpt_dir: str | Path, name: str | None = None, target: Any =
         tree = dict(tree)
         tree["metadata"] = json.loads(meta_file.read_text())
     return tree
+
+
+def restore_into(ckpt_dir: str | Path, name: str, params: Any, batch_stats: Any,
+                 opt_state: Any = None) -> tuple[dict, dict]:
+    """Restore a checkpoint INTO the given pytree structures (required for
+    ``opt_state``: optax states are namedtuples, and a target-free restore
+    would flatten them to sorted dicts). Returns ``(tree, metadata)``; the
+    tree has key ``opt_state`` only when both the caller asked for it and the
+    checkpoint recorded one (``has_opt_state`` in its metadata)."""
+    path = (Path(ckpt_dir) / name).resolve()
+    meta_file = path / "metadata.json"
+    meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    target = {"params": _to_saveable(params), "batch_stats": _to_saveable(batch_stats)}
+    if opt_state is not None and meta.get("has_opt_state"):
+        target["opt_state"] = _to_saveable(opt_state)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path, target)
+    return tree, meta
 
 
 def latest_epoch_checkpoint(ckpt_dir: str | Path) -> tuple[int, Path] | None:

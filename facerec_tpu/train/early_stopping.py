@@ -30,3 +30,13 @@ class EarlyStopping:
             self.history.append({"value": float(value), "best": float(self.best),
                                  "counter": self.counter, "stop": self.should_stop})
         return self.should_stop
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "counter": self.counter,
+                "should_stop": self.should_stop, "history": list(self.history)}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = float(d["best"])
+        self.counter = int(d["counter"])
+        self.should_stop = bool(d["should_stop"])
+        self.history = list(d.get("history", []))

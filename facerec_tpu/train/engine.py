@@ -37,7 +37,12 @@ from facerec_tpu.data.pipeline import prefetch_to_device
 from facerec_tpu.eval.metrics import confusion_matrix, count_parameters
 from facerec_tpu.models import get_model
 from facerec_tpu.parallel.mesh import build_mesh, shard_params
-from facerec_tpu.train.checkpoints import latest_epoch_checkpoint, load_checkpoint, prune_checkpoints, save_checkpoint
+from facerec_tpu.train.checkpoints import (
+    latest_epoch_checkpoint,
+    prune_checkpoints,
+    restore_into,
+    save_checkpoint,
+)
 from facerec_tpu.train.early_stopping import EarlyStopping
 from facerec_tpu.train.results import ResultsManager, next_model_version
 from facerec_tpu.train.schedulers import get_scheduler
@@ -178,21 +183,6 @@ def train_model(
     if two_phase:
         set_hyperparam(state.opt_state, "backbone_scale", 0.0)
 
-    # Resume from the newest epoch checkpoint (reference
-    # special_architectures.py:166-188).
-    start_epoch = 0
-    if config.resume:
-        found = latest_epoch_checkpoint(model_dir)
-        if found is not None:
-            ep, path = found
-            restored = load_checkpoint(model_dir, path.name)
-            state = state.replace(
-                params=jax.tree_util.tree_map(lambda t, s: jax.numpy.asarray(s, t.dtype), state.params, restored["params"]),
-                batch_stats=jax.tree_util.tree_map(lambda t, s: jax.numpy.asarray(s, t.dtype), state.batch_stats, restored["batch_stats"]),
-            )
-            start_epoch = ep + 1
-            logger.info("resumed from %s (epoch %d)", path, ep)
-
     base_lr = config.optimizer.learning_rate
     if config.use_lr_finder:
         # LR range-test pre-pass on a disposable state (reference
@@ -212,11 +202,48 @@ def train_model(
 
     train_step, eval_step = jit_steps(model, model_type, mesh)
     scheduler = get_scheduler(config.scheduler, base_lr, config.epochs)
-    lr = scheduler.step()
-    set_hyperparam(state.opt_state, "learning_rate", lr)
-
     stopper = EarlyStopping(patience=config.patience, min_delta=config.min_delta, mode="min", trace=True)
     best_val_acc = -1.0
+
+    # FULL resume from the newest epoch checkpoint: params, batch_stats,
+    # optimizer state (Adam moments + injected hyperparams, so the two-phase
+    # backbone_scale / clip / LR all come back), plus host-side scheduler and
+    # early-stopping state — the reference restores model+optimizer+scheduler
+    # and continues at epoch+1 (special_architectures.py:166-188).
+    start_epoch = 0
+    resumed = False
+    if config.resume:
+        found = latest_epoch_checkpoint(model_dir)
+        if found is not None:
+            ep, path = found
+            tree, meta = restore_into(model_dir, path.name, state.params,
+                                      state.batch_stats, state.opt_state)
+            as_dtype = lambda t, s: jax.numpy.asarray(s, jax.numpy.asarray(t).dtype)  # noqa: E731
+            state = state.replace(
+                params=shard_params(jax.tree_util.tree_map(as_dtype, state.params, tree["params"]), mesh),
+                batch_stats=shard_params(jax.tree_util.tree_map(as_dtype, state.batch_stats, tree["batch_stats"]), mesh),
+            )
+            if "opt_state" in tree:
+                state = state.replace(opt_state=shard_params(
+                    jax.tree_util.tree_map(as_dtype, state.opt_state, tree["opt_state"]), mesh))
+            if "step" in meta:
+                state = state.replace(step=jax.numpy.asarray(int(meta["step"]), jax.numpy.int32))
+            if "scheduler" in meta:
+                scheduler.load_state_dict(meta["scheduler"])
+            if "stopper" in meta:
+                stopper.load_state_dict(meta["stopper"])
+            best_val_acc = float(meta.get("best_val_acc", -1.0))
+            start_epoch = ep + 1
+            resumed = True
+            logger.info("resumed from %s (epoch %d, step %s, lr %.3e)",
+                        path, ep, meta.get("step", "?"), scheduler.lr)
+
+    if resumed:
+        lr = scheduler.lr  # scheduler was already stepped past the saved epoch
+    else:
+        lr = scheduler.step()
+    set_hyperparam(state.opt_state, "learning_rate", lr)
+
     history_rows = []
     t0 = time.time()
 
@@ -260,12 +287,6 @@ def train_model(
                         name, epoch + 1, config.epochs, train_m["loss"], train_m["acc"],
                         val_m["loss"], val_m["acc"], lr, elapsed, extra)
 
-            # periodic full checkpoint + prune
-            if config.checkpoint_every and (epoch + 1) % config.checkpoint_every == 0:
-                save_checkpoint(model_dir, f"epoch_{epoch}", state.params, state.batch_stats,
-                                metadata={"epoch": epoch, "val_acc": val_m["acc"]})
-                prune_checkpoints(model_dir, keep=config.keep_checkpoints)
-
             # two-phase transition: unfreeze + LR halving (training.py:685-699)
             if two_phase and epoch + 1 == transition_epoch:
                 set_hyperparam(state.opt_state, "backbone_scale", 1.0)
@@ -276,7 +297,24 @@ def train_model(
             lr = scheduler.step(val_m["loss"])
             set_hyperparam(state.opt_state, "learning_rate", lr)
 
-            if config.early_stopping and val_m["loss"] == val_m["loss"] and stopper(val_m["loss"]):
+            stop = (config.early_stopping and val_m["loss"] == val_m["loss"]
+                    and stopper(val_m["loss"]))
+
+            # periodic FULL checkpoint (params + batch_stats + optimizer state
+            # + host scheduler/stopper snapshots) — everything resume needs,
+            # captured after the end-of-epoch scheduler step so a resumed run
+            # continues exactly where an uninterrupted one would be.
+            if config.checkpoint_every and (epoch + 1) % config.checkpoint_every == 0:
+                save_checkpoint(model_dir, f"epoch_{epoch}", state.params, state.batch_stats,
+                                opt_state=state.opt_state,
+                                metadata={"epoch": epoch, "val_acc": val_m["acc"],
+                                          "step": int(jax.device_get(state.step)),
+                                          "scheduler": scheduler.state_dict(),
+                                          "stopper": stopper.state_dict(),
+                                          "best_val_acc": best_val_acc})
+                prune_checkpoints(model_dir, keep=config.keep_checkpoints)
+
+            if stop:
                 logger.info("[%s] early stopping at epoch %d", name, epoch + 1)
                 break
         start_epoch = 0  # subsequent datasets start fresh epochs
