@@ -64,12 +64,17 @@ def render_face(params: dict, size: int, jitter_rng: np.random.Generator | None 
     return (img * 255).astype(np.uint8)
 
 
-def face_landmarks(params: dict, size: int, shift=(0.0, 0.0)) -> np.ndarray:
+def face_landmarks(params: dict, size: int, shift=(0.0, 0.0), rot_deg: float = 0.0) -> np.ndarray:
     """5-point landmarks (x, y) in pixel coords for a rendered face:
-    left eye, right eye, nose (eye-mouth midpoint), mouth-left, mouth-right."""
+    left eye, right eye, nose (eye-mouth midpoint), mouth-left, mouth-right.
+    ``rot_deg`` matches the in-plane rotation given to the photo renderer."""
     sx, sy = shift
+    c, s = np.cos(np.deg2rad(rot_deg)), np.sin(np.deg2rad(rot_deg))
+
     def pt(u, v):
-        return [(u + 0.5 + sx) * size, (v + 0.5 + sy) * size]
+        ur, vr = c * u - s * v, s * u + c * v
+        return [(ur + 0.5 + sx) * size, (vr + 0.5 + sy) * size]
+
     le = pt(-params["eye_dx"], params["eye_y"])
     re = pt(params["eye_dx"], params["eye_y"])
     ml = pt(-params["mouth_w"], params["mouth_y"])
@@ -78,14 +83,157 @@ def face_landmarks(params: dict, size: int, shift=(0.0, 0.0)) -> np.ndarray:
     return np.asarray([le, re, nose, ml, mr], np.float32)
 
 
-def face_bbox(params: dict, size: int, shift=(0.0, 0.0)) -> np.ndarray:
-    """Tight face box (x1, y1, x2, y2) in pixel coords (hair top to chin)."""
+def face_bbox(params: dict, size: int, shift=(0.0, 0.0), rot_deg: float = 0.0) -> np.ndarray:
+    """Tight face box (x1, y1, x2, y2) in pixel coords (hair top to chin).
+    Under rotation, the box of the rotated corner points (standard convention)."""
     sx, sy = shift
-    x1 = (0.5 + sx - params["face_ax"]) * size
-    x2 = (0.5 + sx + params["face_ax"]) * size
-    y1 = (0.5 + sy + params["hair_top"]) * size
-    y2 = (0.5 + sy + params["face_ay"]) * size
-    return np.asarray([x1, y1, x2, y2], np.float32)
+    ax, ay = params["face_ax"], params["face_ay"]
+    top = min(params["hair_top"], -ay)
+    if rot_deg:
+        c, s = np.cos(np.deg2rad(rot_deg)), np.sin(np.deg2rad(rot_deg))
+        corners = np.asarray([[-ax, top], [ax, top], [-ax, ay], [ax, ay]], np.float32)
+        rot = corners @ np.asarray([[c, s], [-s, c]], np.float32)
+        x1, y1 = rot.min(axis=0)
+        x2, y2 = rot.max(axis=0)
+    else:
+        x1, x2, y1, y2 = -ax, ax, top, ay
+    return np.asarray([
+        (0.5 + sx + x1) * size, (0.5 + sy + y1) * size,
+        (0.5 + sx + x2) * size, (0.5 + sy + y2) * size,
+    ], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Photo-domain renderer: shaded, soft-edged faces with alpha mattes. The flat
+# cartoon faces above are perfect for identity classification but train a
+# detector on the wrong cues (hard square patch edges, constant-color
+# regions); real photographs have none of those. This renderer adds the cues
+# real faces do have — smooth shading, soft boundaries, eyebrows/sclera/lips
+# structure, in-plane rotation — and its scenes alpha-blend into the
+# background so no rectangular seam exists (VERDICT round-1 item 4: real-photo
+# detection).
+# ---------------------------------------------------------------------------
+
+def _soft_ellipse(u, v, cx, cy, rx, ry, soft=0.18):
+    """Soft-edged ellipse mask in [0,1]; q<=1 inside, soft falloff outside."""
+    q = ((u - cx) / max(rx, 1e-6)) ** 2 + ((v - cy) / max(ry, 1e-6)) ** 2
+    return np.clip((1.0 + soft - q) / soft, 0.0, 1.0).astype(np.float32)
+
+
+def _over(img, mask, color):
+    return img * (1.0 - mask[..., None]) + np.asarray(color, np.float32) * mask[..., None]
+
+
+def render_face_photo(
+    params: dict, size: int, jitter_rng: np.random.Generator | None = None,
+    rot_deg: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render a shaded face; returns (float img in [0,1] [S,S,3], alpha [S,S])."""
+    rng = jitter_rng or np.random.default_rng(0)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    u0 = xs / size - 0.5
+    v0 = ys / size - 0.5
+    c, s = np.cos(np.deg2rad(rot_deg)), np.sin(np.deg2rad(rot_deg))
+    # face-local coords (inverse rotation so the face appears rotated by +rot)
+    u = c * u0 + s * v0
+    v = -s * u0 + c * v0
+
+    ax, ay = params["face_ax"], params["face_ay"]
+    # plausible warm skin tone (R >= G >= B): identity controls the luminance
+    # and adds a small per-channel cast
+    raw = np.asarray(params["skin"], np.float32)
+    base = float(raw.mean()) * 0.85 + 0.28
+    skin = np.asarray([base * 1.10, base * 0.84, base * 0.68], np.float32)
+    skin = np.clip(skin + (raw - raw.mean()) * 0.15, 0.05, 1.0)
+
+    face_a = _soft_ellipse(u, v, 0.0, 0.0, ax, ay, soft=0.10)
+    # lambertian-ish shading + radial falloff toward the silhouette
+    ld = rng.uniform(-1.0, 1.0, 2)
+    ld = ld / max(np.linalg.norm(ld), 1e-6)
+    radial = (u / ax) ** 2 + (v / ay) ** 2
+    shade = 1.0 + 0.28 * (ld[0] * u / ax + ld[1] * v / ay) - 0.22 * np.clip(radial, 0, 1.4) ** 2
+    shade = np.clip(shade, 0.45, 1.5)[..., None].astype(np.float32)
+
+    img = np.zeros((size, size, 3), np.float32)
+    img = _over(img, face_a, skin)
+    img *= shade
+
+    edx, ey, er = params["eye_dx"], params["eye_y"], params["eye_r"]
+    brow_col = np.asarray(params["hair_col"], np.float32) * 0.55
+    for sx_ in (-1.0, 1.0):
+        # eyebrow
+        brow = _soft_ellipse(u, v, sx_ * edx, ey - er * 2.4, er * 1.9, er * 0.55, 0.5) * face_a
+        img = _over(img, brow * 0.8, brow_col)
+        # sclera, iris, pupil
+        sclera = _soft_ellipse(u, v, sx_ * edx, ey, er * 1.5, er * 0.95, 0.35) * face_a
+        img = _over(img, sclera, np.asarray([0.88, 0.86, 0.83]) * float(np.clip(1 - radial.mean() * 0, 0.9, 1)))
+        iris = _soft_ellipse(u, v, sx_ * edx, ey, er * 0.72, er * 0.72, 0.4) * face_a
+        img = _over(img, iris, np.asarray(params["eye_col"], np.float32))
+        pupil = _soft_ellipse(u, v, sx_ * edx, ey, er * 0.32, er * 0.32, 0.6) * face_a
+        img = _over(img, pupil, np.asarray([0.04, 0.03, 0.03]))
+    # nose: subtle ridge + nostril dots
+    my, mw, mh = params["mouth_y"], params["mouth_w"], params["mouth_h"]
+    nose_y = (ey + my) / 2 + 0.02
+    nose_m = np.exp(-((u / 0.05) ** 2)) * np.exp(-(((v - nose_y) / 0.10) ** 2))
+    img *= (1.0 - 0.12 * nose_m[..., None] * face_a[..., None])
+    for sx_ in (-1.0, 1.0):
+        nost = _soft_ellipse(u, v, sx_ * 0.022, my - 0.065, 0.013, 0.010, 0.8) * face_a
+        img = _over(img, nost * 0.6, skin * 0.45)
+    # lips: two soft bands with a darker seam
+    lip_col = np.clip(skin * np.asarray([1.15, 0.62, 0.62]), 0, 1)
+    lips = _soft_ellipse(u, v, 0.0, my, mw, mh * 1.7, 0.3) * face_a
+    img = _over(img, lips, lip_col)
+    seam = _soft_ellipse(u, v, 0.0, my, mw * 0.92, mh * 0.45, 0.6) * face_a
+    img = _over(img, seam * 0.85, lip_col * 0.55)
+
+    # hair: elliptical cap whose top sits at hair_top, cut above the brow line
+    cut_v = ey - er * 3.2
+    h_cy = (params["hair_top"] + cut_v) / 2
+    h_ry = max((cut_v - params["hair_top"]) / 2, 0.02) * 1.08
+    hair_core = _soft_ellipse(u, v, 0.0, h_cy, ax * 1.10, h_ry, 0.12)
+    hair_cut = np.clip((cut_v - v) / 0.04 + 0.5, 0.0, 1.0)
+    hair_a = (hair_core * hair_cut).astype(np.float32)
+    hair_col = np.asarray(params["hair_col"], np.float32)
+    img = _over(img, hair_a, hair_col * np.clip(shade[..., 0], 0.6, 1.2)[..., None])
+
+    alpha = np.clip(np.maximum(face_a, hair_a), 0.0, 1.0)
+    # mild texture so regions aren't constant-color
+    img += rng.normal(0, 0.015, img.shape).astype(np.float32)
+    return np.clip(img, 0.0, 1.0), alpha
+
+
+def _photometric(img01: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Global photo-style randomization: white balance, gamma, contrast."""
+    img = img01 * rng.uniform(0.82, 1.18, 3).astype(np.float32)
+    img = np.clip(img, 0.0, 1.0) ** rng.uniform(0.65, 1.45)
+    m = img.mean()
+    img = (img - m) * rng.uniform(0.75, 1.25) + m
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def _photo_background(rng: np.random.Generator, canvas: int) -> np.ndarray:
+    """float [0,1] background: smooth gradient / blurred blobs / clutter."""
+    kind = int(rng.integers(0, 3))
+    ys, xs = np.mgrid[0:canvas, 0:canvas].astype(np.float32) / canvas
+    c0 = rng.uniform(0.05, 0.95, 3).astype(np.float32)
+    c1 = rng.uniform(0.05, 0.95, 3).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi)
+    t = np.clip(xs * np.cos(ang) + ys * np.sin(ang), 0, 1)[..., None]
+    bg = c0 * (1 - t) + c1 * t
+    if kind >= 1:  # blurred blobs over the gradient
+        blob = rng.uniform(0, 1, (canvas // 16 + 1, canvas // 16 + 1, 3))
+        blob = np.kron(blob, np.ones((16, 16, 1)))[:canvas, :canvas]
+        from PIL import Image, ImageFilter
+
+        pil = Image.fromarray((np.clip(blob, 0, 1) * 255).astype(np.uint8))
+        blob = np.asarray(pil.filter(ImageFilter.GaussianBlur(canvas / 24)), np.float32) / 255
+        bg = 0.5 * bg + 0.5 * blob
+    if kind == 2:  # hard clutter rectangles (furniture/edges)
+        for _ in range(int(rng.integers(1, 5))):
+            x, y = rng.integers(0, canvas, 2)
+            w, h = rng.integers(canvas // 12, canvas // 3, 2)
+            bg[y : y + h, x : x + w] = rng.uniform(0, 0.9, 3)
+    return np.clip(bg, 0, 1).astype(np.float32)
 
 
 def render_scene(
@@ -93,30 +241,61 @@ def render_scene(
     canvas: int = 128,
     face_size_range: tuple[int, int] = (32, 96),
     params: dict | None = None,
+    style: str = "mix",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """A detection-training scene: one synthetic face pasted on a cluttered
-    background. Returns (uint8 image [canvas,canvas,3], box [4], lmk [5,2])."""
+    """A detection-training scene: one synthetic face on a varied background.
+    Returns (uint8 image [canvas,canvas,3], box [4], lmk [5,2]).
+
+    ``style``: 'photo' (shaded/soft/rotated face, alpha-blended, scene-level
+    photometric randomization + blur — the domain that transfers to real
+    photographs), 'flat' (the legacy hard-paste cartoon), or 'mix' (75/25)."""
     p = params or _identity_params(rng)
     fsize = int(rng.integers(face_size_range[0], face_size_range[1] + 1))
-    # render un-shifted so the box/landmark ground truth is exact; apply
-    # photometric jitter separately
-    face = render_face(p, fsize, None)
-    light = rng.uniform(0.8, 1.2)
-    face = np.clip(face.astype(np.float32) * light + rng.normal(0, 4, face.shape), 0, 255).astype(np.uint8)
-    # background: blurred noise + random rectangles (clutter)
-    bg = rng.uniform(0, 0.6, (canvas // 8, canvas // 8, 3))
-    bg = np.kron(bg, np.ones((8, 8, 1)))[:canvas, :canvas]
-    for _ in range(rng.integers(0, 6)):
-        x, y = rng.integers(0, canvas, 2)
-        w, h = rng.integers(4, canvas // 3, 2)
-        bg[y : y + h, x : x + w] = rng.uniform(0, 0.8, 3)
-    img = (np.clip(bg, 0, 1) * 255).astype(np.uint8)
+    if style == "mix":
+        style = "photo" if rng.uniform() < 0.75 else "flat"
+
+    if style == "flat":
+        face = render_face(p, fsize, None)
+        light = rng.uniform(0.8, 1.2)
+        face = np.clip(face.astype(np.float32) * light + rng.normal(0, 4, face.shape), 0, 255).astype(np.uint8)
+        bg = rng.uniform(0, 0.6, (canvas // 8, canvas // 8, 3))
+        bg = np.kron(bg, np.ones((8, 8, 1)))[:canvas, :canvas]
+        for _ in range(rng.integers(0, 6)):
+            x, y = rng.integers(0, canvas, 2)
+            w, h = rng.integers(4, canvas // 3, 2)
+            bg[y : y + h, x : x + w] = rng.uniform(0, 0.8, 3)
+        img = (np.clip(bg, 0, 1) * 255).astype(np.uint8)
+        ox = int(rng.integers(0, canvas - fsize + 1))
+        oy = int(rng.integers(0, canvas - fsize + 1))
+        img[oy : oy + fsize, ox : ox + fsize] = face
+        off = np.asarray([ox, oy], np.float32)
+        box = face_bbox(p, fsize) + np.concatenate([off, off])
+        lmk = face_landmarks(p, fsize) + off
+        return img, box, lmk
+
+    rot = float(rng.uniform(-18.0, 18.0))
+    face, alpha = render_face_photo(p, fsize, jitter_rng=rng, rot_deg=rot)
+    bg = _photo_background(rng, canvas)
     ox = int(rng.integers(0, canvas - fsize + 1))
     oy = int(rng.integers(0, canvas - fsize + 1))
-    img[oy : oy + fsize, ox : ox + fsize] = face
+    region = bg[oy : oy + fsize, ox : ox + fsize]
+    bg[oy : oy + fsize, ox : ox + fsize] = (
+        alpha[..., None] * face + (1 - alpha[..., None]) * region
+    )
+    img = _photometric(bg, rng)
+    # scene-level blur + sensor noise (real photos at detector resolution are
+    # smooth; the heavy upsample of small reference JPEGs doubly so)
+    from PIL import Image, ImageFilter
+
+    sigma = float(rng.uniform(0.0, 1.4))
+    if sigma > 0.05:
+        pil = Image.fromarray((img * 255).astype(np.uint8))
+        img = np.asarray(pil.filter(ImageFilter.GaussianBlur(sigma)), np.float32) / 255
+    img = np.clip(img + rng.normal(0, rng.uniform(0.0, 0.03), img.shape), 0, 1)
+    img = (img * 255).astype(np.uint8)
     off = np.asarray([ox, oy], np.float32)
-    box = face_bbox(p, fsize) + np.concatenate([off, off])
-    lmk = face_landmarks(p, fsize) + off
+    box = face_bbox(p, fsize, rot_deg=rot) + np.concatenate([off, off])
+    lmk = face_landmarks(p, fsize, rot_deg=rot) + off
     return img, box, lmk
 
 

@@ -132,6 +132,7 @@ class InceptionResnetV1(nn.Module):
 
     num_classes: int = 0
     dropout_rate: float = 0.6
+    repeats: tuple[int, int, int] = (5, 10, 5)  # reduce for fast parity tests
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -143,11 +144,11 @@ class InceptionResnetV1(nn.Module):
         self.conv2d_3b = BasicConv2d(80, (1, 1), name="conv2d_3b", **kw)
         self.conv2d_4a = BasicConv2d(192, (3, 3), name="conv2d_4a", **kw)
         self.conv2d_4b = BasicConv2d(256, (3, 3), strides=2, name="conv2d_4b", **kw)
-        self.repeat_1 = [Block35(name=f"repeat_1_{i}", **kw) for i in range(5)]
+        self.repeat_1 = [Block35(name=f"repeat_1_{i}", **kw) for i in range(self.repeats[0])]
         self.mixed_6a = Mixed6a(name="mixed_6a", **kw)
-        self.repeat_2 = [Block17(name=f"repeat_2_{i}", **kw) for i in range(10)]
+        self.repeat_2 = [Block17(name=f"repeat_2_{i}", **kw) for i in range(self.repeats[1])]
         self.mixed_7a = Mixed7a(name="mixed_7a", **kw)
-        self.repeat_3 = [Block8(name=f"repeat_3_{i}", **kw) for i in range(5)]
+        self.repeat_3 = [Block8(name=f"repeat_3_{i}", **kw) for i in range(self.repeats[2])]
         self.block8 = Block8(no_relu=True, name="block8", **kw)
         self.dropout = nn.Dropout(self.dropout_rate)
         self.last_linear = nn.Dense(512, use_bias=False, name="last_linear", **kw)
@@ -192,7 +193,7 @@ def fixed_standardize(x: jnp.ndarray) -> jnp.ndarray:
     return (x.astype(jnp.float32) - 127.5) / 128.0
 
 
-def convert_inception_resnet_v1(sd) -> dict:
+def convert_inception_resnet_v1(sd, repeats: tuple[int, int, int] = (5, 10, 5)) -> dict:
     """facenet-pytorch InceptionResnetV1 state dict -> flax trees."""
     from facerec_tpu.models.convert import _TreeBuilder
 
@@ -213,20 +214,20 @@ def convert_inception_resnet_v1(sd) -> dict:
 
     b35 = {"branch0": "branch0", "branch1.0": "branch1_0", "branch1.1": "branch1_1",
            "branch2.0": "branch2_0", "branch2.1": "branch2_1", "branch2.2": "branch2_2"}
-    for i in range(5):
+    for i in range(repeats[0]):
         block(f"repeat_1.{i}", f"repeat_1_{i}", b35)
     block("mixed_6a", "mixed_6a",
           {"branch0": "branch0", "branch1.0": "branch1_0", "branch1.1": "branch1_1",
            "branch1.2": "branch1_2"}, has_conv2d=False)
     b17 = {"branch0": "branch0", "branch1.0": "branch1_0", "branch1.1": "branch1_1",
            "branch1.2": "branch1_2"}
-    for i in range(10):
+    for i in range(repeats[1]):
         block(f"repeat_2.{i}", f"repeat_2_{i}", b17)
     block("mixed_7a", "mixed_7a",
           {"branch0.0": "branch0_0", "branch0.1": "branch0_1", "branch1.0": "branch1_0",
            "branch1.1": "branch1_1", "branch2.0": "branch2_0", "branch2.1": "branch2_1",
            "branch2.2": "branch2_2"}, has_conv2d=False)
-    for i in range(5):
+    for i in range(repeats[2]):
         block(f"repeat_3.{i}", f"repeat_3_{i}", b17)
     block("block8", "block8", b17)
     b.linear("last_linear", "last_linear")

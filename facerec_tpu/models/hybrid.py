@@ -38,7 +38,7 @@ class TransformerBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(name="norm2", **kw)(x)
         y = nn.Dense(self.ff_dim, name="ff1", **kw)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU default is exact erf
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
         y = nn.Dense(self.embed_dim, name="ff2", **kw)(y)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)

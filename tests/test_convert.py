@@ -224,3 +224,118 @@ def test_resnet18_conversion_parity():
     fm = ResNet18(width=8)
     got = fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, x)
     np.testing.assert_allclose(np.asarray(got), expect, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full-network parity (VERDICT round-1 item 5): torch replicas with the
+# reference's exact state-dict key layout (tools/torch_replicas.py) vs the
+# converted Flax models, end to end — where flatten-seam and BN-ordering bugs
+# actually hide. Cosine error bound per BASELINE.md: < 1e-3.
+# ---------------------------------------------------------------------------
+import sys as _sys
+
+_sys.path.insert(0, "/root/repo/tools")
+
+
+def _cos_err(a, b):
+    a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    return float(np.max(1.0 - np.sum(a * b, axis=-1)))
+
+
+def test_arcface_full_network_parity():
+    from torch_replicas import TorchArcFaceNet, randomize_bn_stats
+    from facerec_tpu.models import ArcFaceNet
+    from facerec_tpu.models.convert import convert_arcface
+
+    torch.manual_seed(10)
+    tm = TorchArcFaceNet(num_classes=6).eval()
+    randomize_bn_stats(tm, 1)
+    x = np.random.default_rng(4).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_emb = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+        t_logits = _np(tm.eval_logits(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    tree = convert_arcface({k: v.numpy() for k, v in tm.state_dict().items()})
+    fm = ArcFaceNet(num_classes=6)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    f_emb = np.asarray(fm.apply(variables, x))
+    f_logits = np.asarray(fm.apply(variables, x, labels=np.zeros(2, np.int32)))
+    assert _cos_err(f_emb, t_emb) < 1e-3
+    np.testing.assert_allclose(f_logits, t_logits, atol=1e-4)
+
+
+def test_hybrid_full_network_parity():
+    from torch_replicas import TorchHybridNet, randomize_bn_stats
+    from facerec_tpu.models import HybridNet
+    from facerec_tpu.models.convert import convert_hybrid
+
+    torch.manual_seed(11)
+    tm = TorchHybridNet(num_classes=5, seq=4).eval()
+    randomize_bn_stats(tm, 2)
+    x = np.random.default_rng(5).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    tree = convert_hybrid({k: v.numpy() for k, v in tm.state_dict().items()})
+    fm = HybridNet(num_classes=5, seq_len=4)
+    got = np.asarray(fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, x))
+    np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+def test_siamese_full_network_parity():
+    from torch_replicas import TorchSiameseNet, randomize_bn_stats
+    from facerec_tpu.models import SiameseNet
+    from facerec_tpu.models.convert import convert_siamese
+
+    torch.manual_seed(12)
+    tm = TorchSiameseNet().eval()
+    randomize_bn_stats(tm, 3)
+    rng = np.random.default_rng(6)
+    xa = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+    xb = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        ta, tb = tm(torch.from_numpy(xa.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(xb.transpose(0, 3, 1, 2)))
+    tree = convert_siamese({k: v.numpy() for k, v in tm.state_dict().items()})
+    fm = SiameseNet()
+    fa, fb = fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, xa, xb)
+    assert _cos_err(np.asarray(fa), _np(ta)) < 1e-3
+    assert _cos_err(np.asarray(fb), _np(tb)) < 1e-3
+    np.testing.assert_allclose(np.asarray(fa), _np(ta), atol=2e-4)
+
+
+def test_attention_full_network_parity():
+    from torch_replicas import TorchAttentionNet, randomize_bn_stats
+    from facerec_tpu.models import AttentionNet
+    from facerec_tpu.models.convert import convert_attention
+
+    torch.manual_seed(13)
+    tm = TorchAttentionNet(num_classes=5).eval()
+    randomize_bn_stats(tm, 4)
+    x = np.random.default_rng(7).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    tree = convert_attention({k: v.numpy() for k, v in tm.state_dict().items()})
+    fm = AttentionNet(num_classes=5)
+    got = np.asarray(fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, x))
+    np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+def test_inception_resnet_v1_parity():
+    """Depth-reduced (1,1,1) InceptionResnetV1: full stem, one of each
+    residual block family, both reductions, head — the facenet-pytorch
+    conversion path end to end."""
+    from torch_replicas import TorchInceptionResnetV1, randomize_bn_stats
+    from facerec_tpu.models.facenet import InceptionResnetV1, convert_inception_resnet_v1
+
+    torch.manual_seed(14)
+    tm = TorchInceptionResnetV1(repeats=(1, 1, 1)).eval()
+    randomize_bn_stats(tm, 5)
+    x = np.random.default_rng(8).normal(size=(2, 160, 160, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    tree = convert_inception_resnet_v1(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, repeats=(1, 1, 1))
+    fm = InceptionResnetV1(repeats=(1, 1, 1))
+    got = np.asarray(fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, x))
+    assert _cos_err(got, expect) < 1e-3
+    np.testing.assert_allclose(got, expect, atol=2e-4)

@@ -67,7 +67,39 @@ def torch_embeddings(checkpoint: str, model_type: str, x_nhwc: np.ndarray) -> np
             emb = model.get_embedding(t)
         return emb.numpy()
     except Exception as e:  # torchvision or reference source unavailable
-        print(f"[parity] torch reference side unavailable ({e}); "
+        print(f"[parity] reference source unavailable ({e}); "
+              f"falling back to key-compatible torch replicas", file=sys.stderr)
+        return replica_embeddings(checkpoint, model_type, x_nhwc)
+
+
+def replica_embeddings(checkpoint: str, model_type: str, x_nhwc: np.ndarray) -> np.ndarray | None:
+    """Torch-side embeddings via tools/torch_replicas.py — modules whose
+    state-dict key layout matches the reference's, so a real reference .pth
+    loads directly into them (torchvision-free)."""
+    try:
+        import torch
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from torch_replicas import REPLICAS
+
+        if model_type not in REPLICAS:
+            print(f"[parity] no torch replica for {model_type}", file=sys.stderr)
+            return None
+        model = REPLICAS[model_type](num_classes=_num_classes(checkpoint, model_type)) \
+            if model_type != "siamese" else REPLICAS[model_type]()
+        sd = torch.load(checkpoint, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model_state_dict" in sd:
+            sd = sd["model_state_dict"]
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        model.load_state_dict(sd, strict=False)
+        model.eval()
+        with torch.no_grad():
+            t = torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2))
+            emb = model.embed(t) if hasattr(model, "embed") else model(t)
+        return emb.numpy()
+    except Exception as e:
+        print(f"[parity] torch replica side failed ({e}); "
               f"reporting conversion-only checks", file=sys.stderr)
         return None
 
