@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("--storage", default=None, help="sqlite path for resumable studies")
     hp.add_argument("--study-name", default=None)
     hp.add_argument("--train-best", action="store_true")
+    hp.add_argument("--lr-finder", action="store_true",
+                    help="LR range-test pre-pass centers the LR search window "
+                         "(reference run.py --use-lr-finder)")
 
     vz = sub.add_parser("visualize", help="embedding-space visualization CSVs")
     vz.add_argument("--model-type", default="siamese")
@@ -233,7 +236,8 @@ def main(argv: list[str] | None = None) -> int:
             model_type=args.model_type, n_trials=args.trials, epochs_per_trial=args.epochs,
             timeout_seconds=args.timeout, use_trial0_baseline=not args.no_trial0,
             pruning=not args.no_pruning, storage=args.storage,
-            study_name=args.study_name or f"{args.model_type}_study", train_best=args.train_best)
+            study_name=args.study_name or f"{args.model_type}_study", train_best=args.train_best,
+            use_lr_finder=args.lr_finder)
         res = run_hyperparameter_tuning(tcfg, args.dataset)
         print(json.dumps({k: res[k] for k in ("best_value", "best_params", "n_trials")}, indent=2))
         return 0

@@ -268,6 +268,11 @@ class TuningConfig(_DictMixin):
     storage: str | None = None  # sqlite path for resume; None = in-memory
     study_name: str = "facerec_study"
     train_best: bool = False
+    # LR-finder pre-pass: center the log-uniform LR search window on the
+    # range test's suggestion (reference hyperparameter_tuning.py:193-287,
+    # :634-661 find_optimal_lr_for_trial).
+    use_lr_finder: bool = False
+    lr_finder_span: float = 5.0  # window = [suggested/span, suggested*span]
 
 
 def set_random_seeds(seed: int = 42) -> None:

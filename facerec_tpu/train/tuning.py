@@ -119,7 +119,25 @@ class Study:
         return value < float(np.median(hist))
 
     # -- sampling -------------------------------------------------------------------
-    def suggest(self, model_type: str, trial_number: int, use_trial0: bool = True) -> dict[str, Any]:
+    @staticmethod
+    def lr_window(model_type: str, lr_center: float | None = None, span: float = 5.0) -> tuple[float, float]:
+        """The log-uniform LR window: the per-model clamp, narrowed around the
+        LR-finder suggestion when one is available (reference
+        hyperparameter_tuning.py:634-661)."""
+        clamp_lo, clamp_hi = LR_RANGES.get(model_type, LR_RANGES["default"])
+        lo, hi = clamp_lo, clamp_hi
+        if lr_center is not None and lr_center > 0:
+            lo = max(clamp_lo, lr_center / span)
+            hi = min(clamp_hi, lr_center * span)
+            if lo >= hi:  # suggestion outside the clamp: hug the nearest edge
+                if lr_center >= clamp_hi:
+                    lo, hi = max(clamp_lo, clamp_hi / span), clamp_hi
+                else:
+                    lo, hi = clamp_lo, min(clamp_hi, clamp_lo * span)
+        return lo, hi
+
+    def suggest(self, model_type: str, trial_number: int, use_trial0: bool = True,
+                lr_center: float | None = None, lr_span: float = 5.0) -> dict[str, Any]:
         if trial_number == 0 and use_trial0 and model_type in TRIAL0_BASELINES:
             return dict(TRIAL0_BASELINES[model_type])
         done = [t for t in self.trials if t["state"] == "COMPLETE" and t["value"] is not None]
@@ -129,16 +147,17 @@ class Study:
             base = dict(self.rng.choice(done[: max(len(done) // 4, 1)])["params"])
             base["learning_rate"] = float(np.clip(
                 base.get("learning_rate", 1e-3) * math.exp(self.rng.normal(0, 0.5)),
-                *LR_RANGES.get(model_type, LR_RANGES["default"])))
+                *self.lr_window(model_type, lr_center, lr_span)))
             base["weight_decay"] = float(np.clip(
                 base.get("weight_decay", 1e-4) * math.exp(self.rng.normal(0, 0.5)), 1e-6, 1e-2))
             base["dropout"] = float(np.clip(base.get("dropout", 0.3) + self.rng.normal(0, 0.05), 0.0, 0.7))
             return base
-        return self._random_params(model_type)
+        return self._random_params(model_type, lr_center, lr_span)
 
-    def _random_params(self, model_type: str) -> dict[str, Any]:
+    def _random_params(self, model_type: str, lr_center: float | None = None,
+                       lr_span: float = 5.0) -> dict[str, Any]:
         r = self.rng
-        lo, hi = LR_RANGES.get(model_type, LR_RANGES["default"])
+        lo, hi = self.lr_window(model_type, lr_center, lr_span)
         p = {
             "batch_size": int(r.choice([8, 16, 32, 64])),
             "learning_rate": float(np.exp(r.uniform(np.log(lo), np.log(hi)))),
@@ -218,6 +237,23 @@ def run_hyperparameter_tuning(
     if objective_fn is None:
         objective_fn = _default_objective(dataset_dir, tuning)
 
+    # LR-finder pre-pass: one range test on the base config centers the LR
+    # search window for every sampled trial (reference
+    # hyperparameter_tuning.py:193-287 find_optimal_lr_for_trial + :634-661).
+    lr_center = None
+    if tuning.use_lr_finder:
+        try:
+            analysis = _run_lr_finder(dataset_dir, base, tuning)
+            (out_dir / "lr_finder.json").write_text(json.dumps(
+                {k: v for k, v in analysis.items() if not isinstance(v, (list, np.ndarray))}, indent=2))
+            if analysis.get("valid"):
+                lr_center = float(analysis["suggested_lr"])
+                lo, hi = Study.lr_window(tuning.model_type, lr_center, tuning.lr_finder_span)
+                logger.info("LR finder suggests %.3e -> search window [%.2e, %.2e]",
+                            lr_center, lo, hi)
+        except Exception as e:
+            logger.warning("LR-finder pre-pass failed (%s); using the default window", e)
+
     completed = [t for t in study.trials if t["state"] in ("COMPLETE", "PRUNED")]
     logger.info("study '%s': %d existing trials (resume)", tuning.study_name, len(completed))
 
@@ -227,7 +263,8 @@ def run_hyperparameter_tuning(
             logger.info("tuning timeout reached")
             break
         number = study.next_trial_number()
-        params = study.suggest(tuning.model_type, number, tuning.use_trial0_baseline)
+        params = study.suggest(tuning.model_type, number, tuning.use_trial0_baseline,
+                               lr_center=lr_center, lr_span=tuning.lr_finder_span)
         cfg = params_to_config(tuning.model_type, params, base)
         reports: list[float] = []
 
@@ -274,6 +311,28 @@ def run_hyperparameter_tuning(
         cfg = params_to_config(tuning.model_type, best["params"], base)
         summary["train_best"] = train_model(cfg, dataset_dir)["summary"]
     return summary
+
+
+def _run_lr_finder(dataset_dir: str | Path, base: TrainConfig, tuning: TuningConfig) -> dict:
+    """One LR range test on the base config (disposable state)."""
+    import jax
+
+    from facerec_tpu.models import get_model
+    from facerec_tpu.parallel.mesh import build_mesh, shard_params
+    from facerec_tpu.train.engine import _make_batchers
+    from facerec_tpu.train.lr_finder import find_optimal_lr
+    from facerec_tpu.train.state import create_train_state
+
+    cfg = base.replace(model_type=tuning.model_type)
+    batchers, num_classes = _make_batchers(Path(dataset_dir), cfg)
+    mesh = build_mesh(cfg.mesh)
+    model = get_model(cfg.model_type, num_classes=num_classes,
+                      compute_dtype=cfg.compute_dtype, dropout_rate=cfg.dropout_rate)
+    first = next(iter(batchers["train"].epoch(0)))
+    state = create_train_state(model, first, cfg, cfg.model_type, jax.random.key(tuning.seed + 99))
+    state = state.replace(params=shard_params(state.params, mesh),
+                          batch_stats=shard_params(state.batch_stats, mesh))
+    return find_optimal_lr(model, cfg.model_type, state, mesh, batchers["train"], num_steps=60)
 
 
 def _default_objective(dataset_dir: str | Path, tuning: TuningConfig):

@@ -321,3 +321,42 @@ def test_tuner_real_objective(synthetic_imagefolder, tmp_path):
     states = [t["state"] for t in res["trials"]]
     assert states.count("COMPLETE") == 2
     assert res["best_value"] is not None and 0.0 <= res["best_value"] <= 1.0
+
+
+def test_lr_window_centers_on_finder_suggestion():
+    from facerec_tpu.train.tuning import LR_RANGES, Study
+
+    # no suggestion: the per-model clamp
+    assert Study.lr_window("baseline") == LR_RANGES["default"]
+    # a suggestion narrows the window around itself
+    lo, hi = Study.lr_window("baseline", lr_center=1e-3, span=5.0)
+    assert lo == pytest.approx(2e-4) and hi == pytest.approx(5e-3)
+    # ...but never escapes the per-model clamp (arcface caps at 1e-3)
+    lo, hi = Study.lr_window("arcface", lr_center=5e-3, span=5.0)
+    assert hi <= LR_RANGES["arcface"][1] + 1e-12
+    assert lo < hi
+
+
+def test_tuner_lr_finder_prepass(synthetic_imagefolder, tmp_path):
+    """With use_lr_finder on, the REAL range test runs once and every sampled
+    trial's LR lands inside the centered window (VERDICT round-1 item 6)."""
+    import json as _json
+
+    from facerec_tpu.train.tuning import Study, run_hyperparameter_tuning
+
+    captured = []
+
+    def objective(cfg, report):
+        captured.append(cfg.optimizer.learning_rate)
+        return [0.5]
+
+    tcfg = TuningConfig(model_type="baseline", n_trials=4, epochs_per_trial=1,
+                        use_trial0_baseline=False, use_lr_finder=True, seed=3)
+    run_hyperparameter_tuning(tcfg, synthetic_imagefolder, output_dir=tmp_path / "o",
+                              objective_fn=objective)
+    analysis = _json.loads((tmp_path / "o" / "lr_finder.json").read_text())
+    assert analysis["valid"]
+    lo, hi = Study.lr_window("baseline", analysis["suggested_lr"], 5.0)
+    assert len(captured) == 4
+    for lr in captured:
+        assert lo - 1e-12 <= lr <= hi + 1e-12
