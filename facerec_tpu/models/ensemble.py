@@ -67,3 +67,44 @@ class EnsembleModel(nn.Module):
     def embed(self, x, train: bool = False):
         embs = [m.embed(x, train=False) for m in self.members]
         return jnp.concatenate(embs, axis=-1)
+
+
+def create_pretrained_ensemble(
+    member_names: dict[str, str],
+    num_classes: int,
+    checkpoints_root=None,
+    ensemble_method: str = "average",
+    compute_dtype: str = "float32",
+    image_size: int = 224,
+):
+    """Build an ensemble whose members carry their own trained ``best``
+    checkpoints — the reference's *intent* for ensembles (pretrained members,
+    face_models.py:942-957), which its from-scratch construction never
+    delivered (training an ensemble end-to-end with eval-mode members leaves
+    the members frozen at random init — documented in docs/COMPARE.md).
+
+    ``member_names``: model_type -> model_name (checkpoint dir under
+    ``checkpoints_root``). Returns ``(model, variables)`` ready for
+    evaluation or combiner-only fine-tuning.
+    """
+    import jax
+
+    from facerec_tpu.config import CHECKPOINTS_DIR
+    from facerec_tpu.models import create_ensemble
+    from facerec_tpu.train.checkpoints import load_checkpoint
+
+    from pathlib import Path
+
+    root = Path(checkpoints_root or CHECKPOINTS_DIR)
+    model_types = list(member_names)
+    ens = create_ensemble(model_types, num_classes, ensemble_method, compute_dtype)
+    x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = ens.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    for i, (mt, name) in enumerate(member_names.items()):
+        ck = load_checkpoint(root / name)  # best -> final fallback
+        params[f"members_{i}"] = ck["params"]
+        if ck.get("batch_stats"):
+            stats[f"members_{i}"] = ck["batch_stats"]
+    return ens, {"params": params, "batch_stats": stats}

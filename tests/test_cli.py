@@ -60,3 +60,19 @@ def test_graft_entry_multichip():
     assert np.all(np.isfinite(np.asarray(out)))
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_compare_all_pretrained_ensemble(synthetic_imagefolder, tmp_path):
+    """The compare-all ensemble entry loads the members this run just
+    trained. With a single member the ensemble IS that member, so its test
+    accuracy must match exactly — proof the checkpoint graft is verbatim."""
+    from facerec_tpu.cli.compare import compare_all_models
+
+    res = compare_all_models(
+        synthetic_imagefolder, epochs=2, batch_size=8, image_size=32,
+        model_types=["baseline", "ensemble"], ensemble_members=["baseline"],
+        checkpoints_root=tmp_path / "ck", outputs_root=tmp_path / "out")
+    assert "error" not in res["ensemble"], res["ensemble"]
+    assert res["ensemble"]["test_acc"] == res["baseline"]["test_acc"]
+    meta = json.loads((tmp_path / "ck" / "ensemble_compare" / "best" / "metadata.json").read_text())
+    assert meta["pretrained_members"]

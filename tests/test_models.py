@@ -148,3 +148,30 @@ def test_inception_resnet_v1_contract():
     emb = m.apply(v, fixed_standardize(x))
     assert emb.shape == (2, 512)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-4)
+
+
+def test_pretrained_ensemble_from_checkpoints(tmp_path):
+    """create_pretrained_ensemble grafts each member's best checkpoint into
+    the ensemble tree; the ensemble's average logits equal the mean of the
+    members' own logits (VERDICT round-1 item 8)."""
+    import jax
+
+    from facerec_tpu.models import get_model
+    from facerec_tpu.models.ensemble import create_pretrained_ensemble
+    from facerec_tpu.train.checkpoints import save_checkpoint
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    member_types = {"baseline": "b_v1", "cnn": "c_v1"}
+    member_out = []
+    for i, (mt, name) in enumerate(member_types.items()):
+        m = get_model(mt, num_classes=3)
+        v = m.init({"params": jax.random.key(i), "dropout": jax.random.key(10 + i)},
+                   x, train=False)
+        save_checkpoint(tmp_path / name, "best", v["params"], v.get("batch_stats", {}))
+        member_out.append(np.asarray(m.apply(v, x, train=False)))
+
+    ens, variables = create_pretrained_ensemble(member_types, 3, checkpoints_root=tmp_path,
+                                                image_size=32)
+    got = np.asarray(ens.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, np.mean(member_out, axis=0), atol=1e-5)
