@@ -17,10 +17,38 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def local_slice(batch: dict, process_index: int | None = None,
+                process_count: int | None = None) -> dict:
+    """Per-host input sharding: slice a globally-indexed host batch down to
+    this process's contiguous rows (SURVEY.md section 5.8 DCN row: each host
+    feeds only its own shard; ICI never sees another host's raw images).
+    No-op on a single process."""
+    pc = jax.process_count() if process_count is None else process_count
+    if pc <= 1:
+        return batch
+    pi = jax.process_index() if process_index is None else process_index
+    def _sl(x):
+        per = x.shape[0] // pc
+        return x[pi * per : (pi + 1) * per]
+
+    return {k: _sl(v) for k, v in batch.items()}
+
+
 def shard_put(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
+    """Place a host batch onto the mesh, sharded along the data axis. On a
+    multi-host mesh the batch must be this process's LOCAL slice
+    (``local_slice``); the global array is assembled from the per-process
+    shards without any cross-host data movement."""
+    multi = jax.process_count() > 1
+
     def _put(x):
         spec = P(data_axis, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multi:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return {k: _put(v) for k, v in batch.items()}
 

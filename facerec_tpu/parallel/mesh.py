@@ -27,6 +27,41 @@ from facerec_tpu.config import MeshConfig
 _REPLICATED = P()
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Env-gated multi-host bootstrap (SURVEY.md section 5.8: the comm-backend
+    component the reference never had; the TPU equivalent of NCCL rendezvous).
+
+    Call once before any jax device query on every host of a multi-host
+    slice. Reads ``FACEREC_COORDINATOR`` (host:port),
+    ``FACEREC_NUM_PROCESSES`` and ``FACEREC_PROCESS_ID`` when arguments are
+    not given; on Cloud TPU pods all three are auto-detected by jax itself,
+    so setting only ``FACEREC_COORDINATOR=auto`` defers entirely to
+    ``jax.distributed.initialize()`` defaults. Returns True when multi-process
+    mode was initialized, False when unconfigured (single-host — the only
+    mode testable in this environment; the multi-host path is exercised by a
+    mocked-env unit test, tests/test_parallel.py)."""
+    import os
+
+    addr = coordinator_address or os.environ.get("FACEREC_COORDINATOR")
+    if not addr:
+        return False
+    kwargs: dict = {}
+    if addr != "auto":
+        kwargs["coordinator_address"] = addr
+        n = num_processes if num_processes is not None else os.environ.get("FACEREC_NUM_PROCESSES")
+        p = process_id if process_id is not None else os.environ.get("FACEREC_PROCESS_ID")
+        if n is not None:
+            kwargs["num_processes"] = int(n)
+        if p is not None:
+            kwargs["process_id"] = int(p)
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def build_mesh(config: MeshConfig = MeshConfig(), devices: Sequence[jax.Device] | None = None) -> Mesh:
     """Construct a 2-D (data, model) mesh over all (or given) devices.
 

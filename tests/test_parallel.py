@@ -157,3 +157,39 @@ def test_sharded_serve_matches_single_device():
     r1b = jax.device_get(single.process(frames))
     r2b = jax.device_get(meshed.process(frames))
     np.testing.assert_array_equal(np.asarray(r2b.match_indices), np.asarray(r1b.match_indices))
+
+
+def test_initialize_distributed_env_gated(monkeypatch):
+    """Multi-host bootstrap wires env vars through to
+    jax.distributed.initialize; unconfigured -> no-op. (Actual multi-host is
+    untestable on one host; this pins the contract.)"""
+    from facerec_tpu.parallel.mesh import initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: calls.append(kw))
+    monkeypatch.delenv("FACEREC_COORDINATOR", raising=False)
+    assert initialize_distributed() is False and not calls
+
+    monkeypatch.setenv("FACEREC_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("FACEREC_NUM_PROCESSES", "4")
+    monkeypatch.setenv("FACEREC_PROCESS_ID", "2")
+    assert initialize_distributed() is True
+    assert calls[-1] == {"coordinator_address": "10.0.0.1:1234",
+                         "num_processes": 4, "process_id": 2}
+
+    monkeypatch.setenv("FACEREC_COORDINATOR", "auto")  # TPU-pod auto-detect
+    assert initialize_distributed() is True
+    assert calls[-1] == {}
+
+
+def test_local_slice_per_host():
+    from facerec_tpu.data.pipeline import local_slice
+
+    batch = {"image": np.arange(16).reshape(16, 1), "label": np.arange(16)}
+    # single process: identity
+    out = local_slice(batch, process_index=0, process_count=1)
+    assert out["image"].shape == (16, 1)
+    # 4 processes: contiguous quarter per host
+    out2 = local_slice(batch, process_index=2, process_count=4)
+    np.testing.assert_array_equal(out2["label"], [8, 9, 10, 11])
+    assert out2["image"].shape == (4, 1)
