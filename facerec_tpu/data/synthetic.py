@@ -276,11 +276,21 @@ def render_scene(
     rot = float(rng.uniform(-18.0, 18.0))
     face, alpha = render_face_photo(p, fsize, jitter_rng=rng, rot_deg=rot)
     bg = _photo_background(rng, canvas)
-    ox = int(rng.integers(0, canvas - fsize + 1))
-    oy = int(rng.integers(0, canvas - fsize + 1))
-    region = bg[oy : oy + fsize, ox : ox + fsize]
-    bg[oy : oy + fsize, ox : ox + fsize] = (
-        alpha[..., None] * face + (1 - alpha[..., None]) * region
+    # allow edge-cut placement (close-up portraits crop the face at the frame
+    # boundary; the reference's gallery JPEGs are exactly such tight crops) —
+    # including faces LARGER than the canvas (fsize may exceed it)
+    cut = int(0.2 * fsize)
+    lo = -cut
+    hi = max(canvas - fsize + cut, lo) + 1
+    ox = int(rng.integers(lo, hi))
+    oy = int(rng.integers(lo, hi))
+    sy0, sx0 = max(-oy, 0), max(-ox, 0)
+    sy1 = min(canvas - oy, fsize)
+    sx1 = min(canvas - ox, fsize)
+    region = bg[oy + sy0 : oy + sy1, ox + sx0 : ox + sx1]
+    a = alpha[sy0:sy1, sx0:sx1, None]
+    bg[oy + sy0 : oy + sy1, ox + sx0 : ox + sx1] = (
+        a * face[sy0:sy1, sx0:sx1] + (1 - a) * region
     )
     img = _photometric(bg, rng)
     # scene-level blur + sensor noise (real photos at detector resolution are

@@ -130,8 +130,15 @@ class Detections(NamedTuple):
     valid: jnp.ndarray  # [B, max_faces] bool
 
 
-def pyramid_scales(h: int, w: int, min_face_size: int, factor: float = 0.709) -> list[float]:
-    """Static pyramid: scales of 12/min_face * factor^i until min side < 12."""
+def pyramid_scales(h: int, w: int, min_face_size: int, factor: float = 0.709,
+                   oversize_levels: int = 1) -> list[float]:
+    """Static pyramid: scales of 12/min_face * factor^i until min side < 12.
+
+    ``oversize_levels`` appends that many EXTRA coarser levels past the
+    classic stop, so a single P-Net cell can propose boxes LARGER than the
+    frame — close-up portraits (e.g. the reference's gallery JPEGs) crop the
+    face at the frame boundary, and without these levels the largest
+    proposable box is min(h, w), which never covers such faces."""
     m = 12.0 / min_face_size
     min_side = min(h, w) * m
     scales = []
@@ -139,6 +146,9 @@ def pyramid_scales(h: int, w: int, min_face_size: int, factor: float = 0.709) ->
         scales.append(m)
         m *= factor
         min_side *= factor
+    for _ in range(oversize_levels):
+        scales.append(m)
+        m *= factor
     return scales
 
 

@@ -57,21 +57,35 @@ def nms(
     m = max_out if max_out is not None else n
     m = min(m, n)
 
-    # Selection loop over OUTPUT slots (m << n sequential steps, vs the
-    # classic loop over all n candidates): each round takes the best
-    # remaining candidate and suppresses its overlaps in one vector op.
-    def body(_, carry):
-        remaining, out_idx, out_keep, t = carry
-        i = jnp.argmax(remaining)
-        ok = remaining[i] > neg
-        out_idx = out_idx.at[t].set(jnp.where(ok, i, 0))
-        out_keep = out_keep.at[t].set(ok)
-        sup = (ov[i] > threshold) | (jnp.arange(n) == i)
-        remaining = jnp.where(ok & sup, neg, remaining)
-        return remaining, out_idx, out_keep, t + 1
+    # Greedy NMS as a DAG fixed point: box i survives iff NO surviving
+    # higher-scored box overlaps it past the threshold. Dependencies point
+    # strictly up the score order (ties broken by lower index, matching
+    # argmax), so synchronous iteration converges to exactly the classic
+    # greedy result in (suppression-chain depth + 1) rounds — 2-4 in
+    # practice for detection boxes, vs one sequential argmax+mask step per
+    # OUTPUT SLOT in the selection-loop form (the detect stage's latency was
+    # dominated by those ~80 sequential steps across the cascade's four NMS
+    # rounds). Each round is one [N, N] elementwise pass; the while_loop
+    # exits as soon as the survivor mask stops changing.
+    idx_r = jnp.arange(n)
+    dominates = (s0[None, :] > s0[:, None]) | (
+        (s0[None, :] == s0[:, None]) & (idx_r[None, :] < idx_r[:, None]))
+    sup = (ov > threshold) & dominates & valid[None, :]  # sup[i, j]: j can kill i
 
-    init = (s0, jnp.zeros(m, jnp.int32), jnp.zeros(m, bool), 0)
-    _, idx, keep, _ = jax.lax.fori_loop(0, m, body, init)
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < 1) | ((it < n) & jnp.any(keep != prev))
+
+    def body(carry):
+        keep, _, it = carry
+        new = valid & (s0 > neg) & ~jnp.any(sup & keep[None, :], axis=1)
+        return new, keep, it + 1
+
+    keep0 = valid & (s0 > neg)
+    keep_fp, _, _ = jax.lax.while_loop(cond, body, (keep0, jnp.zeros_like(keep0), 0))
+
+    top_s, idx = jax.lax.top_k(jnp.where(keep_fp, s0, neg), m)
+    keep = top_s > neg
     b = boxes[idx]
     s = jnp.where(keep, scores.astype(jnp.float32)[idx], 0.0)
-    return b, s, keep, idx
+    return b, s, keep, jnp.where(keep, idx, 0)

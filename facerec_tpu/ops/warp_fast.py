@@ -76,27 +76,43 @@ def _shear_x(patch: jnp.ndarray, slope: jnp.ndarray, const: jnp.ndarray, k_lo: i
     chain was the serving pipeline's bandwidth wall at batch>=16). The math
     is IDENTICAL to the single-level form: only zeros are added by the extra
     masked taps."""
+    return _shear(patch, slope, const, k_lo, k_hi, axis=2, coarse=coarse)
+
+
+def _shear(patch: jnp.ndarray, slope: jnp.ndarray, const: jnp.ndarray, k_lo: int, k_hi: int,
+           axis: int, coarse: int = 8) -> jnp.ndarray:
+    """Shear along ``axis`` (2 = x, shift varies per row; 1 = y, shift varies
+    per column) — slicing the shifted axis directly instead of transposing a
+    ~27 MB patch tensor twice around an x-only kernel."""
     n, p = patch.shape[0], patch.shape[1]
     dt = patch.dtype
-    ys = jnp.arange(p, dtype=jnp.float32) - (p - 1) / 2.0
-    shift = slope[:, None] * ys[None, :] + const[:, None]  # [N, P] per row
+    other = jnp.arange(p, dtype=jnp.float32) - (p - 1) / 2.0
+    shift = slope[:, None] * other[None, :] + const[:, None]  # [N, P] per line
     shift = jnp.clip(shift, k_lo, k_hi - 1.0)
     base = jnp.floor(shift)
     frac = shift - base  # [N, P]
-    c = jnp.floor(base / coarse)  # coarse slot per row
+    c = jnp.floor(base / coarse)  # coarse slot per line
     r = base - c * coarse  # integer remainder in [0, coarse)
     c_lo = math.floor(k_lo / coarse)
     c_hi = math.floor((k_hi - 1) / coarse)
     pad_lo = max(-c_lo * coarse, 0)
     pad_hi = max(c_hi * coarse + coarse + 1, 0)
-    padded = jnp.pad(patch, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)))
+    pads = [(0, 0)] * patch.ndim
+    pads[axis] = (pad_lo, pad_hi)
+    padded = jnp.pad(patch, pads)
+    # weight index layout: for axis=2 the shift varies with the ROW (dim 1)
+    # -> broadcast [N, P, 1, 1]; for axis=1 it varies with the COLUMN (dim 2)
+    # -> broadcast [N, 1, P, 1]
+    expand = (slice(None), slice(None), None, None) if axis == 2 else (slice(None), None, slice(None), None)
     # stage 1: coarse integer translate, kept `coarse` wider for the fine taps
     width1 = p + coarse + 1
-    out1 = jnp.zeros((n, p, width1, patch.shape[3]), dt)
+    shape1 = list(patch.shape)
+    shape1[axis] = width1
+    out1 = jnp.zeros(shape1, dt)
     for ci in range(c_lo, c_hi + 1):
         m = (c == ci).astype(dt)
-        sl = jax.lax.slice_in_dim(padded, ci * coarse + pad_lo, ci * coarse + pad_lo + width1, axis=2)
-        out1 = out1 + m[:, :, None, None] * sl
+        sl = jax.lax.slice_in_dim(padded, ci * coarse + pad_lo, ci * coarse + pad_lo + width1, axis=axis)
+        out1 = out1 + m[expand] * sl
     # stage 2: fine shift f = r + frac in [0, coarse); floor(f) == r exactly
     f = (r + frac).astype(jnp.float32)
     fb = jnp.floor(f)
@@ -104,8 +120,8 @@ def _shear_x(patch: jnp.ndarray, slope: jnp.ndarray, const: jnp.ndarray, k_lo: i
     out = jnp.zeros_like(patch)
     for k in range(0, coarse + 1):
         wk = (jnp.where(fb == k, 1.0 - ff, 0.0) + jnp.where(fb == k - 1, ff, 0.0)).astype(dt)
-        sl = jax.lax.slice_in_dim(out1, k, k + p, axis=2)
-        out = out + wk[:, :, None, None] * sl
+        sl = jax.lax.slice_in_dim(out1, k, k + p, axis=axis)
+        out = out + wk[expand] * sl
     return out
 
 
@@ -142,9 +158,9 @@ def rotate_patches(patches: jnp.ndarray, angles: jnp.ndarray, centers: jnp.ndarr
     # computes in bf16 anyway; halves the chain's HBM traffic (measured
     # bandwidth-bound at batch >= 16)
     out = patches.astype(jnp.bfloat16)
-    out = _shear_x(out, a, c1, -kx, kx)
-    out = jnp.swapaxes(_shear_x(jnp.swapaxes(out, 1, 2), b, c2, -ky, ky), 1, 2)
-    out = _shear_x(out, a, jnp.zeros_like(c1), -kx, kx)
+    out = _shear(out, a, c1, -kx, kx, axis=2)
+    out = _shear(out, b, c2, -ky, ky, axis=1)
+    out = _shear(out, a, jnp.zeros_like(c1), -kx, kx, axis=2)
     off = (p - out_size) // 2
     return out[:, off : off + out_size, off : off + out_size, :].astype(patches.dtype)
 

@@ -19,7 +19,15 @@ Faithful behaviors:
     at training.py:639 is a documented defect we fix — SURVEY.md section 7).
 Intentional divergences: no 100-batch/20-batch loop caps by default (they were
 single-GPU defensive caps; config.max_*_batches restores them), no per-batch
-wall-clock timeouts (XLA steps are uniform).
+wall-clock timeouts (XLA steps are uniform). ArcFace adaptive clipping is the
+reference's epoch-indexed SCHEDULE (face_models.py:549-553,
+min(clip, 0.5+0.05*epoch) for the first 10 epochs) — the reference
+additionally modulates it with running grad-norm statistics inside a backward
+hook (:538-570); that part is deliberately not replicated: a host-side
+mutable hook has no place inside one compiled step, the schedule is the
+stability-bearing component, and the grad-stat term reacts to single-GPU
+noise our global-norm clip already bounds. grad_norm is logged per epoch, so
+the data to revisit this stays available.
 """
 
 from __future__ import annotations
