@@ -146,17 +146,43 @@ def render_face_photo(
     skin = np.asarray([base * 1.10, base * 0.84, base * 0.68], np.float32)
     skin = np.clip(skin + (raw - raw.mean()) * 0.15, 0.05, 1.0)
 
-    face_a = _soft_ellipse(u, v, 0.0, 0.0, ax, ay, soft=0.10)
+    # natural hair color: dark..brown..blond axis from the identity's raw
+    # hair luminance, small cast from the raw channels
+    hraw = np.asarray(params["hair_col"], np.float32)
+    hl = float(hraw.mean())
+    params = dict(params)
+    params["hair_col"] = np.clip(
+        np.asarray([hl * 1.05, hl * 0.8, hl * 0.55], np.float32) + (hraw - hl) * 0.1, 0.02, 1.0)
+    eraw = np.asarray(params["eye_col"], np.float32)
+    el = float(eraw.mean())
+    # iris: dark brown to blue-grey
+    params["eye_col"] = np.clip(
+        np.asarray([el * 0.8, el * 0.75, el * 0.9], np.float32) + (eraw - el) * 0.2, 0.03, 0.6)
+
+    # egg-shaped silhouette: the face narrows toward the chin
+    taper = 1.0 - 0.16 * np.clip(v / ay, 0.0, 1.0)
+    face_a = _soft_ellipse(u / taper, v, 0.0, 0.0, ax, ay, soft=0.10)
     # lambertian-ish shading + radial falloff toward the silhouette
     ld = rng.uniform(-1.0, 1.0, 2)
     ld = ld / max(np.linalg.norm(ld), 1e-6)
-    radial = (u / ax) ** 2 + (v / ay) ** 2
-    shade = 1.0 + 0.28 * (ld[0] * u / ax + ld[1] * v / ay) - 0.22 * np.clip(radial, 0, 1.4) ** 2
-    shade = np.clip(shade, 0.45, 1.5)[..., None].astype(np.float32)
+    strength = rng.uniform(0.18, 0.40)
+    radial = (u / (ax * taper)) ** 2 + (v / ay) ** 2
+    shade = 1.0 + strength * (ld[0] * u / ax + ld[1] * v / ay) - 0.22 * np.clip(radial, 0, 1.4) ** 2
+    shade = np.clip(shade, 0.4, 1.55)[..., None].astype(np.float32)
 
     img = np.zeros((size, size, 3), np.float32)
+    # neck below the chin + ears at the face sides (context real portraits
+    # always have; drawn first so the face overlaps them)
+    neck = _soft_ellipse(u, v, 0.0, ay * 1.25, ax * 0.42, ay * 0.5, 0.2)
+    img = _over(img, neck, skin * 0.9)
+    ears = np.zeros_like(neck)
+    for sx_ in (-1.0, 1.0):
+        ears = np.maximum(ears, _soft_ellipse(u, v, sx_ * ax * 0.98, params["eye_y"] + 0.06,
+                                              ax * 0.16, ay * 0.16, 0.3))
+    img = _over(img, ears, skin * 0.95)
     img = _over(img, face_a, skin)
     img *= shade
+    context_a = np.maximum(neck, ears)
 
     edx, ey, er = params["eye_dx"], params["eye_y"], params["eye_r"]
     brow_col = np.asarray(params["hair_col"], np.float32) * 0.55
@@ -186,17 +212,32 @@ def render_face_photo(
     seam = _soft_ellipse(u, v, 0.0, my, mw * 0.92, mh * 0.45, 0.6) * face_a
     img = _over(img, seam * 0.85, lip_col * 0.55)
 
-    # hair: elliptical cap whose top sits at hair_top, cut above the brow line
+    # hair: style drawn from the identity (cap / full ring around the face /
+    # short-or-bald), top at hair_top
+    style = params.get("hair_style", int(abs(hash(str(round(float(params["hair_top"]), 6)))) % 3))
     cut_v = ey - er * 3.2
-    h_cy = (params["hair_top"] + cut_v) / 2
-    h_ry = max((cut_v - params["hair_top"]) / 2, 0.02) * 1.08
-    hair_core = _soft_ellipse(u, v, 0.0, h_cy, ax * 1.10, h_ry, 0.12)
-    hair_cut = np.clip((cut_v - v) / 0.04 + 0.5, 0.0, 1.0)
-    hair_a = (hair_core * hair_cut).astype(np.float32)
     hair_col = np.asarray(params["hair_col"], np.float32)
+    if style == 2:  # short / receding: thin rim above the forehead
+        rim = _soft_ellipse(u / taper, v, 0.0, 0.0, ax * 1.02, ay * 1.02, 0.08)
+        band = np.clip((cut_v - v) / 0.03 + 0.5, 0, 1) * np.clip((v - params["hair_top"]) / 0.02 + 0.5, 0, 1)
+        hair_a = (rim * band * 0.85).astype(np.float32)
+    elif style == 1:  # full hair: ring around the upper face down to the ears
+        ring_out = _soft_ellipse(u, v, 0.0, -0.02, ax * 1.22, ay * 1.12, 0.10)
+        below = np.clip((params["eye_y"] + 0.16 - v) / 0.05 + 0.5, 0, 1)
+        inner = _soft_ellipse(u / taper, v, 0.0, 0.0, ax * 0.92, ay * 0.92, 0.10)
+        hair_a = (ring_out * below * (1 - inner * np.clip((v - cut_v) / -0.04 + 0.5, 0, 1) * 0)).astype(np.float32)
+        hair_a = np.maximum(hair_a * (1 - (face_a * (v > cut_v))), 0)
+        # keep the facial region clear below the brow line
+        hair_a = hair_a * (1 - face_a * np.clip((v - cut_v) / 0.03 + 0.5, 0, 1))
+    else:  # cap (beret-like)
+        h_cy = (params["hair_top"] + cut_v) / 2
+        h_ry = max((cut_v - params["hair_top"]) / 2, 0.02) * 1.08
+        hair_core = _soft_ellipse(u, v, 0.0, h_cy, ax * 1.10, h_ry, 0.12)
+        hair_cut = np.clip((cut_v - v) / 0.04 + 0.5, 0.0, 1.0)
+        hair_a = (hair_core * hair_cut).astype(np.float32)
     img = _over(img, hair_a, hair_col * np.clip(shade[..., 0], 0.6, 1.2)[..., None])
 
-    alpha = np.clip(np.maximum(face_a, hair_a), 0.0, 1.0)
+    alpha = np.clip(np.maximum(np.maximum(face_a, hair_a), context_a * 0.95), 0.0, 1.0)
     # mild texture so regions aren't constant-color
     img += rng.normal(0, 0.015, img.shape).astype(np.float32)
     return np.clip(img, 0.0, 1.0), alpha
@@ -255,6 +296,7 @@ def render_scene(
         style = "photo" if rng.uniform() < 0.75 else "flat"
 
     if style == "flat":
+        fsize = min(fsize, canvas)  # hard-paste cannot overflow the canvas
         face = render_face(p, fsize, None)
         light = rng.uniform(0.8, 1.2)
         face = np.clip(face.astype(np.float32) * light + rng.normal(0, 4, face.shape), 0, 255).astype(np.uint8)
