@@ -269,13 +269,32 @@ class MTCNN:
         sv = jnp.stack(all_valid, axis=1)
         bx, sc, vl, _ = jax.vmap(jax.vmap(
             lambda bb, s_, vv: nms(bb, s_, vv, 0.5, "union", k_keep)))(sb, ss, sv)
-        boxes = bx.reshape(b, -1, 4)
-        scores = sc.reshape(b, -1)
-        valid = vl.reshape(b, -1)
-        # cross-scale NMS 0.7, keep top k_rnet
-        boxes, scores, valid, _ = jax.vmap(
-            lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.k_rnet)
-        )(boxes, scores, valid)
+        # cross-scale NMS 0.7 with a SCALE-STRATIFIED quota: coarse levels
+        # (box side >= half the frame — full-face hypotheses on close-up
+        # portraits) select separately from fine levels, so the handful of
+        # ~0.7-0.9-scoring full-face candidates cannot be rank-starved out of
+        # the static k_rnet budget by dozens of 0.95+ fine-scale sub-part
+        # windows (eyes/noses score high on real photos; measured on the
+        # reference gallery close-ups, tests/test_real_photos.py).
+        n_coarse = sum(1 for s in self.scales if 12.0 / s >= 0.5 * min(h, w))
+        if 0 < n_coarse < len(self.scales):
+            k_c = min(max(2, self.k_rnet // 8), self.k_rnet - 1)
+            fb, cb = bx[:, :-n_coarse], bx[:, -n_coarse:]  # scales order fine->coarse
+            fs, cs = sc[:, :-n_coarse], sc[:, -n_coarse:]
+            fv, cv = vl[:, :-n_coarse], vl[:, -n_coarse:]
+            fb2, fs2, fv2, _ = jax.vmap(
+                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet - k_c)
+            )(fb.reshape(b, -1, 4), fs.reshape(b, -1), fv.reshape(b, -1))
+            cb2, cs2, cv2, _ = jax.vmap(
+                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", k_c)
+            )(cb.reshape(b, -1, 4), cs.reshape(b, -1), cv.reshape(b, -1))
+            boxes = jnp.concatenate([fb2, cb2], axis=1)
+            scores = jnp.concatenate([fs2, cs2], axis=1)
+            valid = jnp.concatenate([fv2, cv2], axis=1)
+        else:
+            boxes, scores, valid, _ = jax.vmap(
+                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet)
+            )(bx.reshape(b, -1, 4), sc.reshape(b, -1), vl.reshape(b, -1))
         boxes = _square(boxes)
 
         # ---- stage 2: R-Net ---------------------------------------------------
