@@ -1,0 +1,185 @@
+"""Pallas 3-shear rotation: the whole shear chain on a VMEM-resident patch.
+
+Why: the XLA shear chain (ops/warp_fast.rotate_patches) is HBM-bound — every
+masked slice-add tap streams the full [N, P, P, C] patch tensor from HBM, so
+the 3 passes x (slots + fine taps) touch ~3.5 GB at serving shapes
+(256 x 208^2 x 3 bf16), 4.0 ms at the v5e roofline — 30% of the entire serve
+step. This kernel loads each patch into VMEM ONCE, runs all three two-level
+shear passes from VMEM, and writes only the center-cropped output: HBM
+traffic drops to read-patch + write-crop (~105 MB), leaving pure VPU work.
+
+The math is IDENTICAL to rotate_patches (same 3-shear decomposition, same
+two-level coarse/fine taps, bf16 accumulation): stage-1/stage-2 tap weights
+are precomputed per line on the host side of the jit as one-hot / bilinear
+weight matrices, so the kernel is nothing but static-slice weighted sums —
+no floor/compare/iota inside, which keeps Mosaic lowering trivial.
+
+Layout: channels stay interleaved in the lane dimension ([P, P*C]); a shift
+of k pixels along x is a static slice at k*C lanes, and x-pass weights vary
+only per ROW ([P, 1] broadcasts). y-pass weights vary per column and are
+pre-expanded to [*, P*C] on host.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+COARSE = 8  # two-level granularity; must match warp_fast._shear's default
+
+
+def _pass_bounds(k_lo: int, k_hi: int) -> tuple[int, int, int, int]:
+    """Static per-pass constants (slot range and padding), as in _shear."""
+    c_lo = math.floor(k_lo / COARSE)
+    c_hi = math.floor((k_hi - 1) / COARSE)
+    pad_lo = max(-c_lo * COARSE, 0)
+    pad_hi = max(c_hi * COARSE + COARSE + 1, 0)
+    return c_lo, c_hi, pad_lo, pad_hi
+
+
+def _line_weights(slope, const, p: int, k_lo: int, k_hi: int):
+    """Per-line tap weights for one shear pass: stage-1 coarse one-hot
+    [N, P, S] and stage-2 fine bilinear [N, P, COARSE + 1] (f32)."""
+    other = jnp.arange(p, dtype=jnp.float32) - (p - 1) / 2.0
+    shift = slope[:, None] * other[None, :] + const[:, None]  # [N, P]
+    shift = jnp.clip(shift, k_lo, k_hi - 1.0)
+    base = jnp.floor(shift)
+    frac = shift - base
+    c = jnp.floor(base / COARSE)
+    r = base - c * COARSE
+    c_lo, c_hi, _, _ = _pass_bounds(k_lo, k_hi)
+    slots = jnp.arange(c_lo, c_hi + 1, dtype=jnp.float32)
+    onehot = (c[..., None] == slots).astype(jnp.float32)  # [N, P, S]
+    f = r + frac
+    fb = jnp.floor(f)
+    ff = f - fb
+    ks = jnp.arange(0, COARSE + 1, dtype=jnp.float32)
+    fine = (jnp.where(fb[..., None] == ks, 1.0 - ff[..., None], 0.0)
+            + jnp.where(fb[..., None] == ks - 1.0, ff[..., None], 0.0))  # [N, P, K+1]
+    return onehot, fine
+
+
+def _rotate_kernel(x_ref, w1c_ref, w1f_ref, w2c_ref, w2f_ref, w3c_ref, w3f_ref,
+                   out_ref, padx, padyb, *, p: int, e: int, c: int,
+                   bx: tuple, by: tuple):
+    """One patch per grid step; everything below happens in VMEM."""
+    cx_lo, cx_hi, px_lo, _ = bx
+    cy_lo, cy_hi, py_lo, _ = by
+    w1x = p + COARSE + 1  # stage-1 output width (pixels) for x passes
+    w1y = p + COARSE + 1  # stage-1 output height for the y pass
+    dt = x_ref.dtype
+
+    def shear_x(x, wc, wf):
+        # x: [P, P*C]; shift varies per row -> [P, 1] weight broadcasts
+        padx[:] = jnp.zeros_like(padx)
+        padx[:, px_lo * c:(px_lo + p) * c] = x
+        out1 = jnp.zeros((p, w1x * c), dt)
+        for si in range(cx_hi - cx_lo + 1):
+            off = ((cx_lo + si) * COARSE + px_lo) * c
+            out1 = out1 + wc[:, si:si + 1].astype(dt) * padx[:, off:off + w1x * c]
+        out = jnp.zeros((p, p * c), dt)
+        for k in range(COARSE + 1):
+            out = out + wf[:, k:k + 1].astype(dt) * out1[:, k * c:(k + p) * c]
+        return out
+
+    x = x_ref[0]  # [P, P*C]
+    x = shear_x(x, w1c_ref[0], w1f_ref[0])
+
+    # y pass: shift varies per column; weights pre-expanded to [*, P*C]
+    padyb[:] = jnp.zeros_like(padyb)
+    padyb[py_lo:py_lo + p, :] = x
+    out1 = jnp.zeros((w1y, p * c), dt)
+    for si in range(cy_hi - cy_lo + 1):
+        off = (cy_lo + si) * COARSE + py_lo
+        out1 = out1 + w2c_ref[0, si:si + 1, :].astype(dt) * padyb[off:off + w1y, :]
+    x = jnp.zeros((p, p * c), dt)
+    for k in range(COARSE + 1):
+        x = x + w2f_ref[0, k:k + 1, :].astype(dt) * out1[k:k + p, :]
+
+    x = shear_x(x, w3c_ref[0], w3f_ref[0])
+
+    off = (p - e) // 2
+    out_ref[0] = x[off:off + e, off * c:(off + e) * c]
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "max_angle_deg", "interpret"))
+def rotate_patches_pallas(patches: jnp.ndarray, angles: jnp.ndarray,
+                          centers: jnp.ndarray, out_size: int,
+                          max_angle_deg: float = 15.0,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas counterpart of warp_fast.rotate_patches.
+
+    patches [N, P, P, C], angles [N], centers [N, 2] -> [N, out, out, C].
+    """
+    n, p = patches.shape[0], patches.shape[1]
+    ch = patches.shape[3]
+    e = out_size
+    max_rad = math.radians(max_angle_deg)
+    phi = jnp.clip(angles, -max_rad, max_rad)
+    a = -jnp.tan(phi / 2.0)
+    b = jnp.sin(phi)
+    cosp, sinp = jnp.cos(phi), jnp.sin(phi)
+    cp = (p - 1) / 2.0
+    cap = 0.1 * p
+    rcx = jnp.clip(centers[:, 0] - cp, -cap, cap)
+    rcy = jnp.clip(centers[:, 1] - cp, -cap, cap)
+    tx = (1 - cosp) * rcx + sinp * rcy
+    ty = -sinp * rcx + (1 - cosp) * rcy
+    c2 = ty
+    c1 = tx - a * ty
+    amax = math.tan(max_rad / 2.0)
+    bmax = math.sin(max_rad)
+    slack = (bmax + (1 - math.cos(max_rad))) * cap
+    kx = int(math.ceil(amax * p / 2 + slack * (1 + amax))) + 1
+    ky = int(math.ceil(bmax * p / 2 + slack)) + 1
+
+    w1c, w1f = _line_weights(a, c1, p, -kx, kx)
+    w2c, w2f = _line_weights(b, c2, p, -ky, ky)
+    w3c, w3f = _line_weights(a, jnp.zeros_like(c1), p, -kx, kx)
+    # y-pass weights vary per column: expand pixel -> interleaved lanes and
+    # transpose to [N, S, P*C] so the kernel reads [1, PC] rows per slot
+    w2c = jnp.repeat(jnp.swapaxes(w2c, 1, 2), ch, axis=-1)  # [N, S, P*C]
+    w2f = jnp.repeat(jnp.swapaxes(w2f, 1, 2), ch, axis=-1)
+
+    bx = _pass_bounds(-kx, kx)
+    by = _pass_bounds(-ky, ky)
+    sx = bx[1] - bx[0] + 1
+    sy = by[1] - by[0] + 1
+    padx_w = bx[2] + p + bx[3]
+    pady_h = by[2] + p + by[3]
+
+    dt = jnp.bfloat16  # matches the bf16 chain in warp_fast.rotate_patches
+    flat = patches.reshape(n, p, p * ch).astype(dt)
+
+    out = pl.pallas_call(
+        functools.partial(_rotate_kernel, p=p, e=e, c=ch, bx=bx, by=by),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, p, p * ch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, p, sx), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, p, COARSE + 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, sy, p * ch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, COARSE + 1, p * ch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, p, sx), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, p, COARSE + 1), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, e, e * ch), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, e, e * ch), dt),
+        scratch_shapes=[
+            pltpu.VMEM((p, padx_w * ch), dt),
+            pltpu.VMEM((pady_h, p * ch), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * p * p * ch * (2 * (sx + COARSE + 1) + sy + COARSE + 1),
+            bytes_accessed=n * (p * p * ch + e * e * ch) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(flat, w1c, w1f, w2c, w2f, w3c, w3f)
+    return out.reshape(n, e, e, ch).astype(patches.dtype)

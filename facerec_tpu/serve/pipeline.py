@@ -35,7 +35,7 @@ from facerec_tpu.detect.mtcnn import MTCNN, Detections
 from facerec_tpu.ops.arcface import l2_normalize
 from facerec_tpu.ops.gallery import cosine_to_euclidean, gallery_topk_pallas, gallery_topk_xla
 from facerec_tpu.ops.image import align_and_crop_from, bbox_with_margin
-from facerec_tpu.ops.warp_fast import align_and_crop_fast
+from facerec_tpu.ops.warp_fast import align_and_crop_fast, align_and_crop_fast_batched
 from facerec_tpu.parallel.collectives import global_topk_merge
 from facerec_tpu.parallel.mesh import gallery_sharding, replicated
 from facerec_tpu.serve.gallery import GalleryStore
@@ -132,6 +132,10 @@ class FacePipeline:
         # the exact path for checkpoint-parity evaluation
         align = align_and_crop_from if self.precise_align else align_and_crop_fast
         mesh = self.mesh
+        # the pallas rotate kernel cannot be auto-partitioned by GSPMD — under
+        # a mesh the rotation falls back to the XLA shear chain (the top-k
+        # pallas kernel is fine: it runs inside shard_map)
+        use_pallas_warp = use_pallas and mesh is None
         topk = gallery_topk_pallas if use_pallas else gallery_topk_xla
         if mesh is not None and mesh.shape["model"] > 1:
             # TP match: each chip holds a gallery row-shard; per-shard Pallas
@@ -182,10 +186,17 @@ class FacePipeline:
             landmarks = jnp.where(valid[..., None, None], d.landmarks,
                                   jnp.asarray([[40.0, 60.0], [120.0, 60.0], [80.0, 90.0],
                                                [50.0, 120.0], [110.0, 120.0]]))
-            # fused align (eye landmarks) + crop + resize, one warp per face
-            crops = jax.vmap(
-                lambda img, bx, lm: align(img, bx, lm, cfg.embed_size)
-            )(frames.astype(jnp.float32), boxes, landmarks)
+            # fused align (eye landmarks) + crop + resize, one warp per face;
+            # the fast path rotates ALL B*F patches in one pallas kernel on
+            # TPU (VMEM-resident shear chain, ops/pallas_warp.py)
+            if self.precise_align:
+                crops = jax.vmap(
+                    lambda img, bx, lm: align(img, bx, lm, cfg.embed_size)
+                )(frames.astype(jnp.float32), boxes, landmarks)
+            else:
+                crops = align_and_crop_fast_batched(
+                    frames.astype(jnp.float32), boxes, landmarks,
+                    cfg.embed_size, use_pallas=use_pallas_warp)
             crops = crops.reshape(b * f, cfg.embed_size, cfg.embed_size, 3)
             emb = embed_fn(embed_vars, crops) if has_vars else embed_fn(crops)  # [B*F, D]
             emb = l2_normalize(emb.astype(jnp.float32))

@@ -242,3 +242,53 @@ def test_fast_align_cosine_drift_envelope():
         assert envelope[ang] > 0.98, f"cos drift at {ang} deg: {envelope}"
     # beyond the clamp: partial alignment, still recognizable features
     assert envelope[20.0] > 0.9, f"beyond-clamp cos: {envelope}"
+
+
+def test_pallas_rotate_matches_xla_oracle():
+    """The VMEM-resident pallas shear kernel (ops/pallas_warp.py) must
+    reproduce the XLA shear chain (same 3-shear two-level math) to bf16
+    rounding — checked in interpreter mode on CPU."""
+    from facerec_tpu.ops.pallas_warp import rotate_patches_pallas
+    from facerec_tpu.ops.warp_fast import rotate_patches
+
+    rng = np.random.default_rng(0)
+    n, p, e = 4, 128, 96
+    patches = jnp.asarray(rng.uniform(0, 255, (n, p, p, 3)).astype(np.float32))
+    angles = jnp.asarray(np.array([0.0, 0.1, -0.2, 0.25], np.float32))
+    centers = jnp.asarray(rng.uniform(p * 0.4, p * 0.6, (n, 2)).astype(np.float32))
+    ref = np.asarray(rotate_patches(patches, angles, centers, e))
+    out = np.asarray(rotate_patches_pallas(patches, angles, centers, e, interpret=True))
+    assert out.shape == ref.shape
+    # both paths accumulate in bf16; only last-ulp differences are allowed
+    assert np.abs(ref - out).max() <= 1.0, np.abs(ref - out).max()
+    assert np.abs(ref - out).mean() < 1e-3
+
+
+def test_align_batched_matches_per_frame():
+    """align_and_crop_fast_batched (flat rotation over B*F patches) must be
+    numerically identical to the vmapped per-frame align on the XLA path."""
+    from facerec_tpu.ops.warp_fast import (
+        align_and_crop_fast,
+        align_and_crop_fast_batched,
+    )
+
+    rng = np.random.default_rng(2)
+    b, f, hw, e = 2, 3, (120, 160), 64
+    frames = jnp.asarray(rng.uniform(0, 255, (b, *hw, 3)).astype(np.float32))
+    boxes = np.zeros((b, f, 4), np.float32)
+    lmk = np.zeros((b, f, 5, 2), np.float32)
+    for i in range(b):
+        for j in range(f):
+            x1 = rng.uniform(0, 80); y1 = rng.uniform(0, 40); s = rng.uniform(40, 70)
+            boxes[i, j] = [x1, y1, x1 + s, y1 + s]
+            lmk[i, j] = [[x1 + s*.3, y1 + s*.42], [x1 + s*.7, y1 + s*.38],
+                         [x1 + s*.5, y1 + s*.6], [x1 + s*.35, y1 + s*.8],
+                         [x1 + s*.65, y1 + s*.8]]
+    boxes_j, lmk_j = jnp.asarray(boxes), jnp.asarray(lmk)
+    per_frame = np.stack([
+        np.asarray(align_and_crop_fast(frames[i], boxes_j[i], lmk_j[i], e))
+        for i in range(b)
+    ])
+    batched = np.asarray(align_and_crop_fast_batched(
+        frames, boxes_j, lmk_j, e, use_pallas=False))
+    np.testing.assert_allclose(batched, per_frame, rtol=0, atol=1e-5)

@@ -1,0 +1,102 @@
+"""Stage budget of the serve pipeline on the real TPU.
+
+Times the four stages (detect / align / embed / match) as separate jits with
+the same slope methodology as serve/pipeline.benchmark() — distinct
+device-resident inputs per call, in-jit reductions, one final host
+materialization, slope between a short and a long dispatch chain. Shapes
+mirror bench.py (batch 32, 8 faces, 480x640 frames, 160px crops, 1024-row
+gallery, 512-d embeddings).
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_stages.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope_time(fn, variants, *fixed, iters=12):
+    """Seconds per call via chain-slope over distinct inputs."""
+    @jax.jit
+    def callsum(v, *f):
+        out = fn(v, *f)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in leaves)
+
+    def chain(n):
+        t0 = time.perf_counter()
+        outs = [callsum(variants[i % len(variants)], *fixed) for i in range(n)]
+        float(outs[-1])
+        return time.perf_counter() - t0
+
+    float(callsum(variants[-1], *fixed))  # compile + warm
+    n_short = max(iters // 4, 2)
+    t_short = chain(n_short)
+    t_long = chain(iters)
+    return max((t_long - t_short) / (iters - n_short), 1e-9)
+
+
+def main():
+    from facerec_tpu.detect.mtcnn import MTCNN
+    from facerec_tpu.detect.weights import load_detector_params
+    from facerec_tpu.models import get_model
+    from facerec_tpu.ops.gallery import gallery_topk_pallas, gallery_topk_xla
+    from facerec_tpu.ops.warp_fast import align_and_crop_fast
+
+    B, F, HW, E, G, D = 32, 8, (480, 640), 160, 1024, 512
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() == "tpu"
+    print(f"backend={jax.default_backend()} B={B} F={F}")
+
+    det = MTCNN(HW, min_face_size=40, max_faces=F, k_pnet=64, k_rnet=32,
+                dtype=jnp.bfloat16)
+    det_params = jax.device_put(load_detector_params())
+
+    frames = [jnp.asarray(rng.uniform(0, 255, (B, *HW, 3)).astype(np.float32))
+              for _ in range(13)]
+
+    dt = slope_time(lambda fr: det.detect(det_params, fr), frames)
+    print(f"detect:  {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
+
+    boxes = np.zeros((B, F, 4), np.float32)
+    lmk = np.zeros((B, F, 5, 2), np.float32)
+    for b in range(B):
+        for f in range(F):
+            x1 = rng.uniform(0, HW[1] - 170); y1 = rng.uniform(0, HW[0] - 170)
+            s = rng.uniform(80, 160)
+            boxes[b, f] = [x1, y1, x1 + s, y1 + s]
+            lmk[b, f] = [[x1+s*.3, y1+s*.4], [x1+s*.7, y1+s*.4], [x1+s*.5, y1+s*.6],
+                         [x1+s*.35, y1+s*.8], [x1+s*.65, y1+s*.8]]
+    boxes_j, lmk_j = jnp.asarray(boxes), jnp.asarray(lmk)
+
+    dt = slope_time(
+        lambda fr: jax.vmap(lambda im, bx, lm: align_and_crop_fast(im, bx, lm, E))(
+            fr, boxes_j, lmk_j), frames)
+    print(f"align:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
+
+    embedder = get_model("arcface", num_classes=8)
+    ex = jnp.zeros((1, E, E, 3), jnp.float32)
+    ev = embedder.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                       ex, labels=jnp.zeros(1, jnp.int32), train=True)
+    ev = jax.device_put({"params": ev["params"],
+                         "batch_stats": ev.get("batch_stats", {})})
+    crops = [jnp.asarray(rng.uniform(0, 255, (B * F, E, E, 3)).astype(np.float32))
+             for _ in range(13)]
+    dt = slope_time(lambda c: embedder.apply(ev, c, method="embed"), crops)
+    print(f"embed:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
+
+    gallery = jnp.asarray(rng.normal(size=(G, D)).astype(np.float32))
+    count = jnp.asarray(G, jnp.int32)
+    embs = [jnp.asarray(rng.normal(size=(B * F, D)).astype(np.float32))
+            for _ in range(13)]
+    topk = gallery_topk_pallas if on_tpu else gallery_topk_xla
+    dt = slope_time(lambda e: topk(e, gallery, count, k=5), embs)
+    print(f"match:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
+
+
+if __name__ == "__main__":
+    main()
