@@ -299,8 +299,8 @@ def train_net(net, size: int, n_scenes: int, steps: int, batch_size: int = 256,
 
 def train_detector(
     out_dir: str | Path = DEFAULT_DIR,
-    n_scenes: int = 1500,
-    steps: int = 600,
+    n_scenes: int = 2500,
+    steps: int = 800,
     seed: int = 0,
 ) -> Path:
     """Train all three nets and save weights to the default detector path."""

@@ -66,9 +66,17 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
         from facerec_tpu.models import get_model
         from facerec_tpu.train.checkpoints import load_checkpoint
 
-        net = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
+        ck = None
         if embedder_checkpoint and (CHECKPOINTS_DIR / embedder_checkpoint).exists():
             ck = load_checkpoint(CHECKPOINTS_DIR / embedder_checkpoint)
+        # num_classes must match the checkpoint's arc_weight [n_cls, 512] or
+        # flax rejects the param tree on every frame (the embed path never
+        # touches the margin head, but setup() declares it)
+        n_cls = 18
+        if ck is not None and "arc_weight" in ck.get("params", {}):
+            n_cls = int(ck["params"]["arc_weight"].shape[0])
+        net = get_model("arcface", num_classes=n_cls, compute_dtype="bfloat16")
+        if ck is not None:
             variables = {"params": ck["params"], "batch_stats": ck.get("batch_stats", {})}
         else:
             ex = np.zeros((1, config.embed_size, config.embed_size, 3), np.float32)

@@ -219,6 +219,27 @@ def test_demo_headless(tiny_pipeline):
     assert isinstance(faces, list)
 
 
+def test_build_default_pipeline_checkpoint_classes():
+    """The demo pipeline must size the ArcFace head from the committed
+    checkpoint's arc_weight rows — a hardcoded num_classes made every demo
+    frame fail with a ScopeParamShapeError when the checkpoint was trained
+    with a different class count (caught driving the demo on real TPU)."""
+    import numpy as np
+
+    from facerec_tpu.config import CHECKPOINTS_DIR
+    from facerec_tpu.serve.app import build_default_pipeline, synthetic_frame_source
+
+    if not (CHECKPOINTS_DIR / "arcface_synth").exists():
+        import pytest
+
+        pytest.skip("no committed arcface_synth checkpoint")
+    cfg = ServeConfig(max_faces=2, gallery_capacity=16, top_k=3, embed_size=160)
+    pipe = build_default_pipeline((160, 160), cfg)
+    frame = synthetic_frame_source((160, 160))()
+    out = pipe.process(frame[None].astype(np.float32))
+    assert out.embeddings.shape == (1, 2, 512)
+
+
 # ------------------------------------------------------------------------ visualizer
 def test_visualizer_export(synthetic_imagefolder, tmp_path):
     import jax
