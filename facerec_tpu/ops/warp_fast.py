@@ -1,4 +1,4 @@
-"""Fast gather-free face alignment: matmul crop+resize + roll-based rotation.
+"""Fast gather-free face alignment: matmul crop+resize + 3-shear rotation.
 
 Why: XLA lowers arbitrary-index gathers to ~3-9 ns per element on TPU — the
 exact bilinear warp (ops/image.py) costs ~57 ms for 64 faces x 160^2 from

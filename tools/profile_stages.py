@@ -35,8 +35,10 @@ def slope_time(fn, variants, *fixed, iters=12):
 
     float(callsum(variants[-1], *fixed))  # compile + warm
     n_short = max(iters // 4, 2)
-    t_short = chain(n_short)
-    t_long = chain(iters)
+    # best-of-2 per chain length: the axon relay occasionally stalls one
+    # chain, which would otherwise produce a negative/zero slope
+    t_short = min(chain(n_short), chain(n_short))
+    t_long = min(chain(iters), chain(iters))
     return max((t_long - t_short) / (iters - n_short), 1e-9)
 
 
