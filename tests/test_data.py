@@ -67,3 +67,70 @@ def test_prefetch_shards_batch():
     assert x.shape == (8, 16, 16, 3)
     # sharded over 8 devices on the data axis
     assert len(x.sharding.device_set) == jax.device_count()
+
+
+def test_native_loader_decodes_like_pil(tmp_path):
+    """The C++ libjpeg batcher (data/native/loader.cpp) must yield the same
+    pixels as a PIL decode, same label order with shuffle off, and a proper
+    tail-batch mask. Skipped when g++/libjpeg aren't available."""
+    from PIL import Image
+
+    from facerec_tpu.data.datasets import ImageFolderIndex
+    from facerec_tpu.data.native_loader import NativeClassificationBatcher, available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native loader unavailable (no g++/libjpeg)")
+    rng = np.random.default_rng(0)
+    size = 32
+    refs = []
+    for c in range(2):
+        d = tmp_path / f"cls{c}"
+        d.mkdir()
+        for i in range(3):
+            arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+            p = d / f"{i}.jpg"
+            Image.fromarray(arr).save(p, quality=95)
+            # ground truth = decode of the SAVED jpeg (lossy), not the array
+            refs.append((f"cls{c}", np.asarray(Image.open(p), np.float32) / 255.0))
+    index = ImageFolderIndex.build(tmp_path)
+    b = NativeClassificationBatcher(index, batch_size=4, image_size=size,
+                                    shuffle=False, normalize=False)
+    batches = list(b.epoch(0))
+    assert len(batches) == 2
+    assert batches[0]["mask"].tolist() == [1, 1, 1, 1]
+    assert batches[1]["mask"].tolist() == [1, 1, 0, 0]
+    imgs = np.concatenate([batches[0]["image"], batches[1]["image"]])[:6]
+    labels = np.concatenate([batches[0]["label"], batches[1]["label"]])[:6]
+    assert labels.tolist() == index.labels.tolist()
+    for j, p in enumerate(index.paths):
+        ref = np.asarray(Image.open(p), np.float32) / 255.0
+        diff = np.abs(imgs[j] - ref).mean()
+        assert diff < 2.0 / 255.0, f"decode mismatch on {p}: mean abs {diff:.4f}"
+
+
+def test_native_loader_imagenet_normalization(tmp_path):
+    """normalize=True (the train-engine path) applies ImageNet mean/std."""
+    from PIL import Image
+
+    from facerec_tpu.data.datasets import ImageFolderIndex
+    from facerec_tpu.data.native_loader import NativeClassificationBatcher, available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(1)
+    d = tmp_path / "cls0"
+    d.mkdir()
+    p = d / "0.jpg"
+    Image.fromarray(rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)).save(p, quality=95)
+    index = ImageFolderIndex.build(tmp_path)
+    b = NativeClassificationBatcher(index, batch_size=1, image_size=24,
+                                    shuffle=False, normalize=True)
+    img = next(iter(b.epoch(0)))["image"][0]
+    ref = np.asarray(Image.open(p), np.float32) / 255.0
+    expect = (ref - np.asarray([0.485, 0.456, 0.406], np.float32)) / np.asarray(
+        [0.229, 0.224, 0.225], np.float32)
+    assert np.abs(img - expect).mean() < 0.02
