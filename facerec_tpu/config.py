@@ -113,6 +113,15 @@ class _DictMixin:
         return dataclasses.replace(self, **kwargs)
 
 
+# Cascade thresholds calibrated to the committed SELF-TRAINED detector
+# weights on the reference gallery's real photographs (recall 7/7 vs 5/7 at
+# the classic 0.6/0.7/0.7, FP cost 5/32 vs 2-4/32 face-free frames —
+# tests/test_real_photos.py). The classic values belong to facenet-pytorch's
+# WIDER-FACE-trained weights; detect/weights.py picks per weight source.
+CALIBRATED_DETECTION_THRESHOLDS: tuple[float, float, float] = (0.5, 0.5, 0.55)
+CLASSIC_DETECTION_THRESHOLDS: tuple[float, float, float] = (0.6, 0.7, 0.7)
+
+
 @dataclass(frozen=True)
 class PreprocessingConfig(_DictMixin):
     """Detect->align->crop->augment settings (reference data_prep.py:20-67)."""
@@ -122,10 +131,10 @@ class PreprocessingConfig(_DictMixin):
     face_margin: float = 0.4
     final_size: tuple[int, int] = (IMG_SIZE, IMG_SIZE)
     min_face_size: int = 20
-    # calibrated to the committed self-trained detector weights — see
-    # detect/weights.py CALIBRATED_THRESHOLDS (the reference's 0.6/0.7/0.7
-    # belongs to facenet-pytorch's pretrained weights)
-    detection_thresholds: tuple[float, float, float] = (0.5, 0.5, 0.55)
+    # calibrated to the committed self-trained detector weights (the
+    # reference's 0.6/0.7/0.7 belongs to facenet-pytorch's pretrained
+    # weights) — single source of truth below, re-exported by detect/weights
+    detection_thresholds: tuple[float, float, float] = CALIBRATED_DETECTION_THRESHOLDS
     # Augmentation parameters (reference data_prep.py:38-48)
     augment: bool = True
     rotation_degrees: float = 20.0

@@ -18,7 +18,11 @@ from pathlib import Path
 
 import numpy as np
 
-from facerec_tpu.config import OUTPUTS_DIR
+from facerec_tpu.config import (
+    CALIBRATED_DETECTION_THRESHOLDS,
+    CLASSIC_DETECTION_THRESHOLDS,
+    OUTPUTS_DIR,
+)
 
 DEFAULT_DIR = OUTPUTS_DIR / "detector"
 
@@ -53,7 +57,13 @@ def save_detector_params(params: dict, directory: str | Path = DEFAULT_DIR) -> P
     return d
 
 
-def load_detector_params(directory: str | Path | None = None) -> dict:
+def load_detector_params_with_source(
+    directory: str | Path | None = None,
+) -> tuple[dict, str]:
+    """Load MTCNN params; returns (params, source) with source in
+    {"self-trained", "pretrained"} — "pretrained" for on-the-fly-converted
+    facenet-pytorch ``.pt`` state dicts, which must run at the CLASSIC
+    thresholds they were tuned with, not our self-trained calibration."""
     candidates = []
     if directory is not None:
         candidates.append(Path(directory))
@@ -62,31 +72,43 @@ def load_detector_params(directory: str | Path | None = None) -> dict:
     candidates.append(DEFAULT_DIR)
     for d in candidates:
         if all((d / f"{n}.npz").exists() for n in ("pnet", "rnet", "onet")):
-            return {n: _unflatten(dict(np.load(d / f"{n}.npz"))) for n in ("pnet", "rnet", "onet")}
+            params = {n: _unflatten(dict(np.load(d / f"{n}.npz")))
+                      for n in ("pnet", "rnet", "onet")}
+            return params, "self-trained"
         if all((d / f"{n}.pt").exists() for n in ("pnet", "rnet", "onet")):
             from facerec_tpu.models.convert import convert_mtcnn_net, load_torch_state_dict
 
-            return {n: convert_mtcnn_net(load_torch_state_dict(d / f"{n}.pt"), n)["params"]
-                    for n in ("pnet", "rnet", "onet")}
+            params = {n: convert_mtcnn_net(load_torch_state_dict(d / f"{n}.pt"), n)["params"]
+                      for n in ("pnet", "rnet", "onet")}
+            return params, "pretrained"
     raise FileNotFoundError(f"no MTCNN weights found in {[str(c) for c in candidates]}")
 
 
-# Cascade thresholds calibrated to the committed self-trained weights on the
-# reference gallery's 7 real photographs (tests/test_real_photos.py): recall
-# 6/7 at (0.5, 0.5, 0.55) vs 5/7 at the classic (0.6, 0.7, 0.7), for a
-# false-positive cost of 4/32 vs 2/32 face-free background frames. The classic
-# values are tuned to facenet-pytorch's WIDER-FACE-trained weights (reference
-# app.py:274-286); a hermetic synthetic-domain detector earns its own
-# operating point.
-CALIBRATED_THRESHOLDS: tuple[float, float, float] = (0.5, 0.5, 0.55)
+def load_detector_params(directory: str | Path | None = None) -> dict:
+    return load_detector_params_with_source(directory)[0]
+
+
+# Single source of truth lives in config.py (PreprocessingConfig shares it);
+# re-exported here under the established names. See the calibration story in
+# config.py and tests/test_real_photos.py.
+CALIBRATED_THRESHOLDS = CALIBRATED_DETECTION_THRESHOLDS
+CLASSIC_THRESHOLDS = CLASSIC_DETECTION_THRESHOLDS
+
+
+def thresholds_for_source(source: str) -> tuple[float, float, float]:
+    return CLASSIC_THRESHOLDS if source == "pretrained" else CALIBRATED_THRESHOLDS
 
 
 def load_default_detector(image_hw: tuple[int, int], min_face_size: int = 20,
-                          thresholds: tuple[float, float, float] = CALIBRATED_THRESHOLDS,
+                          thresholds: tuple[float, float, float] | None = None,
                           max_faces: int = 16):
-    """Build an MTCNN for ``image_hw`` with the best available weights."""
+    """Build an MTCNN for ``image_hw`` with the best available weights.
+    ``thresholds=None`` picks the operating point matching the resolved
+    weight source (calibrated for self-trained, classic for pretrained)."""
     from facerec_tpu.detect.mtcnn import MTCNN
 
-    params = load_detector_params()
+    params, source = load_detector_params_with_source()
+    if thresholds is None:
+        thresholds = thresholds_for_source(source)
     det = MTCNN(image_hw, min_face_size=min_face_size, thresholds=thresholds, max_faces=max_faces)
     return det, params

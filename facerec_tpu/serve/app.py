@@ -42,13 +42,20 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
     import jax.numpy as jnp
 
     from facerec_tpu.detect.mtcnn import MTCNN
-    from facerec_tpu.detect.weights import CALIBRATED_THRESHOLDS, load_detector_params
+    from facerec_tpu.detect.weights import (
+        CALIBRATED_THRESHOLDS,
+        load_detector_params_with_source,
+        thresholds_for_source,
+    )
 
-    detector = MTCNN(frame_hw, min_face_size=40, max_faces=config.max_faces,
-                     thresholds=CALIBRATED_THRESHOLDS, dtype=jnp.bfloat16)
     try:
-        det_params = load_detector_params()
+        det_params, source = load_detector_params_with_source()
+        thresholds = thresholds_for_source(source)
     except FileNotFoundError:
+        det_params, thresholds = None, CALIBRATED_THRESHOLDS
+    detector = MTCNN(frame_hw, min_face_size=40, max_faces=config.max_faces,
+                     thresholds=thresholds, dtype=jnp.bfloat16)
+    if det_params is None:
         logger.warning("no MTCNN weights found — using random-init detector")
         det_params = detector.init(jax.random.key(0))
 

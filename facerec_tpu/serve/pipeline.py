@@ -35,7 +35,7 @@ from facerec_tpu.detect.mtcnn import MTCNN, Detections
 from facerec_tpu.ops.arcface import l2_normalize
 from facerec_tpu.ops.gallery import cosine_to_euclidean, gallery_topk_pallas, gallery_topk_xla
 from facerec_tpu.ops.image import align_and_crop_from, bbox_with_margin
-from facerec_tpu.ops.warp_fast import align_and_crop_fast, align_and_crop_fast_batched
+from facerec_tpu.ops.warp_fast import align_and_crop_fast_batched
 from facerec_tpu.parallel.collectives import global_topk_merge
 from facerec_tpu.parallel.mesh import gallery_sharding, replicated
 from facerec_tpu.serve.gallery import GalleryStore
@@ -127,10 +127,6 @@ class FacePipeline:
         margin = self.face_margin
         frame_hw = self.frame_hw
         use_pallas = jax.default_backend() == "tpu"
-        # gather-free matmul+shear warp by default (14x faster on TPU than the
-        # exact per-pixel gather warp; ops/warp_fast.py); precise_align keeps
-        # the exact path for checkpoint-parity evaluation
-        align = align_and_crop_from if self.precise_align else align_and_crop_fast
         mesh = self.mesh
         # the pallas rotate kernel cannot be auto-partitioned by GSPMD — under
         # a mesh the rotation falls back to the XLA shear chain (the top-k
@@ -190,8 +186,9 @@ class FacePipeline:
             # the fast path rotates ALL B*F patches in one pallas kernel on
             # TPU (VMEM-resident shear chain, ops/pallas_warp.py)
             if self.precise_align:
+                # exact per-pixel gather warp, kept for checkpoint-parity eval
                 crops = jax.vmap(
-                    lambda img, bx, lm: align(img, bx, lm, cfg.embed_size)
+                    lambda img, bx, lm: align_and_crop_from(img, bx, lm, cfg.embed_size)
                 )(frames.astype(jnp.float32), boxes, landmarks)
             else:
                 crops = align_and_crop_fast_batched(

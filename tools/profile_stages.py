@@ -20,25 +20,35 @@ import numpy as np
 
 
 def slope_time(fn, variants, *fixed, iters=12):
-    """Seconds per call via chain-slope over distinct inputs."""
+    """Seconds per call via chain-slope over distinct inputs.
+
+    Every dispatch in every chain consumes a FRESH variant (a moving cursor,
+    wrapping only when the pool is exhausted) so no execution can ever be an
+    identical-input repeat — CLAUDE.md measurement trap #1. (Re-tested
+    2026-08-17: the current relay does NOT serve identical repeats from a
+    cache — 33 vs 35 ms on an exact repeat chain — but the hygiene stays.)
+    """
     @jax.jit
     def callsum(v, *f):
         out = fn(v, *f)
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in leaves)
 
+    cursor = [0]
+
     def chain(n):
         t0 = time.perf_counter()
-        outs = [callsum(variants[i % len(variants)], *fixed) for i in range(n)]
+        outs = []
+        for _ in range(n):
+            outs.append(callsum(variants[cursor[0] % len(variants)], *fixed))
+            cursor[0] += 1
         float(outs[-1])
         return time.perf_counter() - t0
 
     float(callsum(variants[-1], *fixed))  # compile + warm
     n_short = max(iters // 4, 2)
-    # best-of-2 per chain length: the axon relay occasionally stalls one
-    # chain, which would otherwise produce a negative/zero slope
-    t_short = min(chain(n_short), chain(n_short))
-    t_long = min(chain(iters), chain(iters))
+    t_short = chain(n_short)
+    t_long = chain(iters)
     return max((t_long - t_short) / (iters - n_short), 1e-9)
 
 
