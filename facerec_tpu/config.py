@@ -131,10 +131,11 @@ class PreprocessingConfig(_DictMixin):
     face_margin: float = 0.4
     final_size: tuple[int, int] = (IMG_SIZE, IMG_SIZE)
     min_face_size: int = 20
-    # calibrated to the committed self-trained detector weights (the
-    # reference's 0.6/0.7/0.7 belongs to facenet-pytorch's pretrained
-    # weights) — single source of truth below, re-exported by detect/weights
-    detection_thresholds: tuple[float, float, float] = CALIBRATED_DETECTION_THRESHOLDS
+    # None = pick by resolved weight source (detect/weights.thresholds_for_
+    # source): CALIBRATED for self-trained npz weights, CLASSIC 0.6/0.7/0.7
+    # for converted facenet-pytorch .pt. A tuple here is an explicit user
+    # override applied regardless of source.
+    detection_thresholds: tuple[float, float, float] | None = None
     # Augmentation parameters (reference data_prep.py:38-48)
     augment: bool = True
     rotation_degrees: float = 20.0

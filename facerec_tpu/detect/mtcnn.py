@@ -163,6 +163,21 @@ def _apply_regression(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
     ], axis=-1)
 
 
+def _pad_slots(bx: jnp.ndarray, sc: jnp.ndarray, vl: jnp.ndarray,
+               n_slots: int) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pad batched NMS output [B, m, ...] to exactly ``n_slots`` slots.
+
+    nms() truncates to min(max_out, n_candidates), so a partition with fewer
+    candidates than its quota (e.g. k_pnet < k_rnet with a single fine-scale
+    level) would otherwise break the static k_rnet concatenation downstream."""
+    pad = n_slots - bx.shape[1]
+    if pad > 0:
+        bx = jnp.pad(bx, ((0, 0), (0, pad), (0, 0)))
+        sc = jnp.pad(sc, ((0, 0), (0, pad)))
+        vl = jnp.pad(vl, ((0, 0), (0, pad)))
+    return bx, sc, vl
+
+
 def _square(boxes: jnp.ndarray) -> jnp.ndarray:
     """rerec: expand to square around center (original MTCNN postprocess)."""
     w = boxes[..., 2] - boxes[..., 0]
@@ -285,9 +300,11 @@ class MTCNN:
             fb2, fs2, fv2, _ = jax.vmap(
                 lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet - k_c)
             )(fb.reshape(b, -1, 4), fs.reshape(b, -1), fv.reshape(b, -1))
+            fb2, fs2, fv2 = _pad_slots(fb2, fs2, fv2, self.k_rnet - k_c)
             cb2, cs2, cv2, _ = jax.vmap(
                 lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", k_c)
             )(cb.reshape(b, -1, 4), cs.reshape(b, -1), cv.reshape(b, -1))
+            cb2, cs2, cv2 = _pad_slots(cb2, cs2, cv2, k_c)
             boxes = jnp.concatenate([fb2, cb2], axis=1)
             scores = jnp.concatenate([fs2, cs2], axis=1)
             valid = jnp.concatenate([fv2, cv2], axis=1)
@@ -295,6 +312,7 @@ class MTCNN:
             boxes, scores, valid, _ = jax.vmap(
                 lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet)
             )(bx.reshape(b, -1, 4), sc.reshape(b, -1), vl.reshape(b, -1))
+            boxes, scores, valid = _pad_slots(boxes, scores, valid, self.k_rnet)
         boxes = _square(boxes)
 
         # ---- stage 2: R-Net ---------------------------------------------------
@@ -307,6 +325,7 @@ class MTCNN:
         boxes, scores, valid, _ = jax.vmap(
             lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.max_faces)
         )(boxes, rp, valid)
+        boxes, scores, valid = _pad_slots(boxes, scores, valid, self.max_faces)
         boxes = _square(boxes)
 
         # ---- stage 3: O-Net ---------------------------------------------------

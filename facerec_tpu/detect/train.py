@@ -133,7 +133,7 @@ def make_training_samples(
         lmk_m.append(0.0 if lmk is None else 1.0)
 
     for _ in range(n_scenes):
-        # 30% extreme close-up portraits (face 90-145% of the canvas, cut at
+        # 35% extreme close-up portraits (face 90-145% of the canvas, cut at
         # the frame boundary — the reference gallery JPEGs crop at forehead
         # AND chin), else the general distribution up to ~125% of the canvas
         if rng.uniform() < 0.35:

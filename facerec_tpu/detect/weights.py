@@ -49,11 +49,17 @@ def flatten_tree(tree: dict, prefix: str = "") -> dict:
     return out
 
 
-def save_detector_params(params: dict, directory: str | Path = DEFAULT_DIR) -> Path:
+def save_detector_params(params: dict, directory: str | Path = DEFAULT_DIR,
+                         source: str = "self-trained") -> Path:
+    """Save MTCNN params as npz trees plus a ``source.txt`` provenance marker
+    so converted-pretrained weights re-saved through this path keep their
+    CLASSIC operating point (the npz extension alone would mislabel them
+    self-trained — thresholds_for_source would then loosen them)."""
     d = Path(directory)
     d.mkdir(parents=True, exist_ok=True)
     for net in ("pnet", "rnet", "onet"):
         np.savez(d / f"{net}.npz", **flatten_tree(params[net]))
+    (d / "source.txt").write_text(source)
     return d
 
 
@@ -74,7 +80,11 @@ def load_detector_params_with_source(
         if all((d / f"{n}.npz").exists() for n in ("pnet", "rnet", "onet")):
             params = {n: _unflatten(dict(np.load(d / f"{n}.npz")))
                       for n in ("pnet", "rnet", "onet")}
-            return params, "self-trained"
+            # provenance marker written by save_detector_params; extension
+            # heuristic (npz == self-trained) is the fallback for older dirs
+            marker = d / "source.txt"
+            source = marker.read_text().strip() if marker.exists() else "self-trained"
+            return params, source
         if all((d / f"{n}.pt").exists() for n in ("pnet", "rnet", "onet")):
             from facerec_tpu.models.convert import convert_mtcnn_net, load_torch_state_dict
 

@@ -60,3 +60,35 @@ def test_detector_trains_and_detects():
         ious.append(_iou(np.asarray(out.boxes[i, bi]), boxes[i]))
     assert found >= 10, f"only detected {found}/16"
     assert np.mean(ious) > 0.4, f"mean IoU {np.mean(ious):.3f}"
+
+
+def test_degenerate_nms_quotas_trace():
+    """Partitions smaller than their NMS quota must pad, not fail at trace
+    time (ADVICE r2: k_pnet < k_rnet with few pyramid levels)."""
+    for kwargs in ({"k_pnet": 4, "k_rnet": 32, "max_faces": 8},
+                   {"k_pnet": 4, "k_rnet": 8, "max_faces": 16}):
+        det = MTCNN((64, 64), min_face_size=40, thresholds=(0.3, 0.3, 0.3), **kwargs)
+        params = det.init(jax.random.key(0))
+        out = det.detect(params, jnp.zeros((2, 64, 64, 3)))
+        assert out.boxes.shape == (2, kwargs["max_faces"], 4)
+        assert out.valid.shape == (2, kwargs["max_faces"])
+
+
+def test_weight_provenance_marker(tmp_path):
+    """save_detector_params records the weight source; loading honors it over
+    the npz-extension heuristic (ADVICE r2: converted pretrained weights
+    re-saved as npz must keep the CLASSIC operating point)."""
+    from facerec_tpu.detect.weights import (
+        load_detector_params_with_source, save_detector_params, thresholds_for_source)
+    from facerec_tpu.config import CLASSIC_DETECTION_THRESHOLDS
+
+    det = MTCNN((64, 64), min_face_size=40, max_faces=4, k_pnet=8, k_rnet=8)
+    params = det.init(jax.random.key(0))
+    d = save_detector_params(params, tmp_path / "w", source="pretrained")
+    loaded, source = load_detector_params_with_source(d)
+    assert source == "pretrained"
+    assert thresholds_for_source(source) == CLASSIC_DETECTION_THRESHOLDS
+    # default marker == self-trained; missing marker falls back to extension
+    (d / "source.txt").unlink()
+    _, source = load_detector_params_with_source(d)
+    assert source == "self-trained"
