@@ -98,8 +98,9 @@ def main() -> None:
     pipe = FacePipeline(cfg, frame_hw, detector, det_params, embed_fn, embed_dim=512,
                         embed_variables=evars)
     rng = np.random.default_rng(0)
-    for i in range(512):  # populated gallery
-        pipe.gallery.add(f"id_{i}", rng.normal(size=512).astype(np.float32))
+    # populated gallery — bulk enrollment is ONE upload, not 512 dispatches
+    pipe.gallery.add_many([f"id_{i}" for i in range(512)],
+                          rng.normal(size=(512, 512)).astype(np.float32))
 
     frames = _face_frames(batch, frame_hw, cfg.max_faces, rng)
     t0 = time.time()
@@ -125,6 +126,11 @@ def main() -> None:
         "value": round(value, 1),
         "unit": "faces/sec/chip",
         "vs_baseline": round(value / 5000.0, 4),
+        # detection slot fill travels WITH the throughput number so a detector
+        # regression below the 0.8 bar can't hide in a stderr warning
+        "detected": int(found),
+        "detected_expected": expected,
+        "detected_ok": bool(found >= 0.8 * expected),
     }
     print(json.dumps(out))
     print(f"# frames/sec={stats['frames_per_sec']:.1f} batch={batch} "

@@ -64,6 +64,30 @@ class GalleryStore:
         self._set_count()
         return self.count - 1
 
+    def add_many(self, names: list[str], embeddings: np.ndarray) -> list[int]:
+        """Bulk enrollment with ONE device upload + ONE fused update.
+
+        ``add()`` costs one eager ``.at[].set`` dispatch per reference —
+        enrolling a 512-identity gallery that way is ~512 runtime round
+        trips. Here the whole block is normalized on host, uploaded once,
+        and spliced into the valid prefix with a single dynamic_update_slice
+        (mirrors ``load()``'s bulk path for the enrollment case)."""
+        if not names:
+            return []
+        embs = np.asarray(embeddings, np.float32).reshape(len(names), -1)
+        if embs.shape[1] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {embs.shape[1]}")
+        if self.count + len(names) > self.capacity:
+            raise ValueError(
+                f"gallery full: {self.count}+{len(names)} > capacity {self.capacity}")
+        embs = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+        start = self.count
+        self.embeddings = self._place(jax.lax.dynamic_update_slice_in_dim(
+            self.embeddings, jnp.asarray(embs), start, 0))
+        self.names.extend(str(n) for n in names)
+        self._set_count()
+        return list(range(start, self.count))
+
     def remove(self, name: str) -> bool:
         if name not in self.names:
             return False

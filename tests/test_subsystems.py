@@ -157,6 +157,33 @@ def test_gallery_store_roundtrip(tmp_path):
         GalleryStore(capacity=1, dim=4).add("a", np.ones(3))
 
 
+def test_gallery_add_many_matches_add():
+    from facerec_tpu.serve.gallery import GalleryStore
+
+    rng = np.random.default_rng(1)
+    embs = rng.normal(size=(5, 16)).astype(np.float32)
+    names = [f"p{i}" for i in range(5)]
+
+    one = GalleryStore(capacity=8, dim=16)
+    one.add("seed", rng.normal(size=16))
+    for n, e in zip(names, embs):
+        one.add(n, e)
+
+    bulk = GalleryStore(capacity=8, dim=16)
+    bulk.add("seed", rng.normal(size=16))
+    idx = bulk.add_many(names, embs)
+
+    assert idx == list(range(1, 6))
+    assert bulk.names == one.names and bulk.count == one.count
+    np.testing.assert_allclose(
+        np.asarray(bulk.embeddings[1:6]), np.asarray(one.embeddings[1:6]), atol=1e-6)
+    with pytest.raises(ValueError):
+        bulk.add_many(["x", "y", "z"], np.ones((3, 16)))  # over capacity
+    with pytest.raises(ValueError):
+        bulk.add_many(["x"], np.ones((1, 4)))  # wrong dim
+    assert bulk.add_many([], np.zeros((0, 16))) == []
+
+
 # ---------------------------------------------------------------------- serve pipeline
 @pytest.fixture(scope="module")
 def tiny_pipeline():
