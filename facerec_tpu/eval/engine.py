@@ -62,9 +62,15 @@ def evaluate_model(
     outputs_root: str | Path | None = None,
     model=None,
     variables=None,
+    return_predictions: bool = False,
 ) -> dict[str, Any]:
     """Evaluate a trained model on a test split; writes the reference's
-    artifact set and returns the metrics dict."""
+    artifact set and returns the metrics dict.
+
+    ``return_predictions`` keeps the per-image arrays (``_predictions``:
+    labels / argmax / probs, or pair labels / distances for siamese) in the
+    returned dict — used by the end-to-end torch parity harness
+    (tools/parity_check.py --reverse). Never serialized to JSON."""
     checkpoints_root = Path(checkpoints_root or CHECKPOINTS_DIR)
     outputs_root = Path(outputs_root or OUTPUTS_DIR)
     test_dir = discover_test_dir(dataset_path)
@@ -87,6 +93,7 @@ def evaluate_model(
     else:
         results = _evaluate_classifier(model, variables, index, config, mesh, out_dir, model_type)
 
+    predictions = results.pop("_predictions", None)
     results["model_name"] = model_name
     results["model_type"] = model_type
     results["test_dir"] = str(test_dir)
@@ -97,6 +104,8 @@ def evaluate_model(
                 model_name, results["accuracy"], results["f1"],
                 f"{results.get('roc_auc', float('nan')):.4f}",
                 results["avg_inference_time_ms"])
+    if return_predictions and predictions is not None:
+        results["_predictions"] = predictions
     return results
 
 
@@ -189,6 +198,7 @@ def _evaluate_classifier(model, variables, index, config, mesh, out_dir, model_t
         "calibration": M.expected_calibration_error(y, probs),
         "per_class": M.per_class_metrics(y, yhat, probs, index.class_names),
         "confusion": M.enhanced_confusion_matrix(y, yhat, index.class_names),
+        "_predictions": {"y": y, "yhat": yhat, "probs": probs},
     }
     # ROC/PR curve CSVs, per class (reference testing.py:415-437)
     _write_curves_csv(out_dir, y, probs, index.class_names)
@@ -233,6 +243,7 @@ def _evaluate_siamese(model, variables, index, config, mesh, out_dir):
         "throughput_pairs_per_sec": float(
             (len(y) / max(n_batches, 1)) / max(ms_per_batch / 1000.0, 1e-9)),
         "distance_threshold": config.siamese_distance_threshold,
+        "_predictions": {"y": y, "yhat": yhat, "dist": dist},
     }
     # verification ROC curve CSV
     with (out_dir / "roc_curve.csv").open("w", newline="") as f:

@@ -232,3 +232,176 @@ def convert_checkpoint(path: str | Path, model_type: str) -> dict:
     if model_type not in CONVERTERS:
         raise ValueError(f"no converter for {model_type}")
     return CONVERTERS[model_type](sd)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: Flax {params, batch_stats} -> reference-layout torch
+# state dict. Exact inverse of the forward converters (tested by tree->sd->
+# tree round trips in tests/test_convert.py); enables running OUR trained
+# checkpoints through the reference's eval semantics for the end-to-end
+# ROC-AUC parity measurement (BASELINE.md; reference testing.py:258-312).
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tree(tree: Mapping[str, Any], prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        path = f"{prefix}{k}"
+        if isinstance(v, Mapping):
+            out.update(_flatten_tree(v, f"{path}/"))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def _hwc_to_chw_rows(w: np.ndarray, c: int, h: int, w_: int) -> np.ndarray:
+    """Inverse of _chw_to_hwc_rows: w rows are in flattened HWC order;
+    return them in torch's flattened CHW order."""
+    idx = np.arange(c * h * w_).reshape(c, h, w_).transpose(1, 2, 0).reshape(-1)
+    return w[np.argsort(idx)]
+
+
+class _SDBuilder:
+    """Mirror of _TreeBuilder for the reverse direction."""
+
+    def __init__(self, tree: Mapping[str, Any]):
+        self.p = _flatten_tree(tree.get("params", tree))
+        self.s = _flatten_tree(tree.get("batch_stats") or {})
+        self.sd: dict[str, np.ndarray] = {}
+
+    def conv(self, tkey: str, fpath: str, bias: bool = True) -> None:
+        self.sd[f"{tkey}.weight"] = np.transpose(self.p[f"{fpath}/kernel"], (3, 2, 0, 1))
+        if bias and f"{fpath}/bias" in self.p:
+            self.sd[f"{tkey}.bias"] = self.p[f"{fpath}/bias"]
+
+    def linear(self, tkey: str, fpath: str, chw: tuple[int, int, int] | None = None) -> None:
+        w = self.p[f"{fpath}/kernel"]  # [in, out], rows in HWC order
+        if chw is not None:
+            w = _hwc_to_chw_rows(w, *chw)
+        self.sd[f"{tkey}.weight"] = np.ascontiguousarray(w.T)
+        if f"{fpath}/bias" in self.p:
+            self.sd[f"{tkey}.bias"] = self.p[f"{fpath}/bias"]
+
+    def bn(self, tkey: str, fpath: str) -> None:
+        self.sd[f"{tkey}.weight"] = self.p[f"{fpath}/scale"]
+        self.sd[f"{tkey}.bias"] = self.p[f"{fpath}/bias"]
+        self.sd[f"{tkey}.running_mean"] = self.s[f"{fpath}/mean"]
+        self.sd[f"{tkey}.running_var"] = self.s[f"{fpath}/var"]
+        self.sd[f"{tkey}.num_batches_tracked"] = np.asarray(1, np.int64)
+
+    def raw(self, tkey: str, fpath: str, transform=None) -> None:
+        v = self.p[fpath]
+        self.sd[tkey] = transform(v) if transform else v
+
+
+def _reverse_resnet18(b: _SDBuilder, prefix: str = "", out_prefix: str = "") -> None:
+    p, o = prefix, out_prefix
+    b.conv(f"{p}conv1", f"{o}conv1", bias=False)
+    b.bn(f"{p}bn1", f"{o}bn1")
+    for li in range(1, 5):
+        for bi in range(2):
+            t = f"{p}layer{li}.{bi}"
+            f = f"{o}layer{li}_{bi}"
+            b.conv(f"{t}.conv1", f"{f}/conv1", bias=False)
+            b.bn(f"{t}.bn1", f"{f}/bn1")
+            b.conv(f"{t}.conv2", f"{f}/conv2", bias=False)
+            b.bn(f"{t}.bn2", f"{f}/bn2")
+            if f"{f}/downsample_conv/kernel" in b.p:
+                b.conv(f"{t}.downsample.0", f"{f}/downsample_conv", bias=False)
+                b.bn(f"{t}.downsample.1", f"{f}/downsample_bn")
+
+
+def reverse_baseline(tree: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    b = _SDBuilder(tree)
+    for i in range(1, 4):
+        b.conv(f"conv{i}", f"conv{i}")
+        b.bn(f"bn{i}", f"bn{i}")
+    b.linear("fc1", "fc1")
+    b.linear("fc2", "fc2")
+    return b.sd
+
+
+def reverse_resnet_transfer(tree: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    b = _SDBuilder(tree)
+    _reverse_resnet18(b, prefix="resnet.", out_prefix="backbone/")
+    b.linear("resnet.fc.1", "fc")
+    return b.sd
+
+
+def reverse_attention(tree: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    b = _SDBuilder(tree)
+    _reverse_resnet18(b, prefix="backbone.", out_prefix="backbone/")
+    b.conv("attention.query", "attention/query")
+    b.conv("attention.key", "attention/key")
+    b.conv("attention.value", "attention/value")
+    b.raw("attention.gamma", "attention/gamma")
+    b.conv("attention.spatial_attention.conv", "attention/spatial_attention/conv")
+    b.linear("fc", "fc")
+    return b.sd
+
+
+def reverse_arcface(tree: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    b = _SDBuilder(tree)
+    _reverse_resnet18(b, prefix="backbone.", out_prefix="backbone/")
+    b.linear("embedding", "embedding")
+    b.bn("bn", "bn")
+    b.raw("arcface.weight", "arc_weight")
+    return b.sd
+
+
+def reverse_hybrid(tree: Mapping[str, Any], num_heads: int = 4) -> dict[str, np.ndarray]:
+    b = _SDBuilder(tree)
+    _reverse_resnet18(b, prefix="cnn.", out_prefix="backbone/")
+    b.raw("pos_encoding", "pos_encoding", lambda v: v[:, None, :])
+    qkv_w, qkv_b = [], []
+    for name in ("query", "key", "value"):
+        k = b.p[f"transformer/attention/{name}/kernel"]  # [D, H, hd]
+        d = k.shape[0]
+        qkv_w.append(np.ascontiguousarray(k.reshape(d, d).T))  # torch w: y = x @ w.T
+        qkv_b.append(b.p[f"transformer/attention/{name}/bias"].reshape(d))
+    b.sd["transformer.attention.in_proj_weight"] = np.concatenate(qkv_w, axis=0)
+    b.sd["transformer.attention.in_proj_bias"] = np.concatenate(qkv_b, axis=0)
+    out_k = b.p["transformer/attention/out/kernel"]  # [H, hd, D]
+    d = out_k.shape[-1]
+    b.sd["transformer.attention.out_proj.weight"] = np.ascontiguousarray(out_k.reshape(d, d).T)
+    b.sd["transformer.attention.out_proj.bias"] = b.p["transformer/attention/out/bias"]
+    for t, f in (("transformer.norm1", "transformer/norm1"), ("transformer.norm2", "transformer/norm2"),
+                 ("norm", "norm")):
+        b.sd[f"{t}.weight"] = b.p[f"{f}/scale"]
+        b.sd[f"{t}.bias"] = b.p[f"{f}/bias"]
+    b.linear("transformer.ff.0", "transformer/ff1")
+    b.linear("transformer.ff.3", "transformer/ff2")
+    b.linear("fc", "fc")
+    return b.sd
+
+
+def reverse_siamese(tree: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    b = _SDBuilder(tree)
+    conv_idx = [0, 4, 7, 11, 14, 18]
+    for i, ci in enumerate(conv_idx):
+        b.conv(f"conv.{ci}", f"conv{i}")
+        b.bn(f"conv.{ci + 1}", f"conv_bn{i}")
+    b.linear("fc.1", "fc1", chw=(512, 6, 6))
+    b.bn("fc.2", "fc_bn1")
+    b.linear("fc.5", "fc2")
+    b.bn("fc.6", "fc_bn2")
+    b.linear("fc.8", "fc3")
+    return b.sd
+
+
+REVERSE_CONVERTERS = {
+    "baseline": reverse_baseline,
+    "cnn": reverse_resnet_transfer,
+    "attention": reverse_attention,
+    "arcface": reverse_arcface,
+    "hybrid": reverse_hybrid,
+    "siamese": reverse_siamese,
+}
+
+
+def flax_to_torch_state_dict(tree: Mapping[str, Any], model_type: str) -> dict[str, np.ndarray]:
+    """Convert a Flax {params, batch_stats} tree into a reference-key-layout
+    torch state dict (numpy values; wrap with torch.from_numpy to load)."""
+    if model_type not in REVERSE_CONVERTERS:
+        raise ValueError(f"no reverse converter for {model_type}")
+    return REVERSE_CONVERTERS[model_type](tree)

@@ -339,3 +339,67 @@ def test_inception_resnet_v1_parity():
     got = np.asarray(fm.apply({"params": tree["params"], "batch_stats": tree["batch_stats"]}, x))
     assert _cos_err(got, expect) < 1e-3
     np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion (Flax tree -> reference-layout torch state dict)
+# ---------------------------------------------------------------------------
+def _flat_tree(tree, prefix=""):
+    out = {}
+    for k in sorted(tree):
+        v = tree[k]
+        path = f"{prefix}{k}"
+        if isinstance(v, dict) or hasattr(v, "items"):
+            out.update(_flat_tree(v, f"{path}/"))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+@pytest.mark.parametrize("mt", ["baseline", "cnn", "attention", "arcface", "hybrid", "siamese"])
+def test_reverse_conversion_round_trip(mt):
+    """flax_to_torch_state_dict must be the exact inverse of the forward
+    converters: tree -> sd -> tree is bitwise-identical. Combined with the
+    forward parity tests above, this proves reverse-converted state dicts
+    reproduce our checkpoints' behavior in torch."""
+    from facerec_tpu.models import get_model
+    from facerec_tpu.models.convert import CONVERTERS, flax_to_torch_state_dict
+
+    model = get_model(mt, num_classes=5)
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    args = (x, x) if mt == "siamese" else (x,)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0), *args))
+    sd = flax_to_torch_state_dict(variables, mt)
+    tree = CONVERTERS[mt](sd)
+
+    want = _flat_tree({"params": variables["params"],
+                       "batch_stats": variables.get("batch_stats", {})})
+    got = _flat_tree(tree)
+    assert set(got) == set(want), sorted(set(got) ^ set(want))
+    for path in want:
+        np.testing.assert_array_equal(got[path], want[path], err_msg=path)
+
+
+def test_reverse_conversion_loads_into_replica_strict():
+    """The reverse state dict must load into the reference-key-layout torch
+    replica with strict=True (no missing/unexpected keys) and reproduce the
+    Flax eval forward (<1e-3 embedding cosine)."""
+    import torch as _torch
+    from torch_replicas import TorchArcFaceNet
+    from facerec_tpu.models import get_model
+    from facerec_tpu.models.convert import flax_to_torch_state_dict
+
+    model = get_model("arcface", num_classes=5)
+    x = np.random.default_rng(11).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(2), x))
+    sd = flax_to_torch_state_dict(variables, "arcface")
+    tm = TorchArcFaceNet(num_classes=5)
+    tm.load_state_dict({k: _torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+                       strict=True)
+    tm.eval()
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    got = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        x, method="embed"))
+    assert _cos_err(got, expect) < 1e-3

@@ -193,3 +193,34 @@ def test_local_slice_per_host():
     out2 = local_slice(batch, process_index=2, process_count=4)
     np.testing.assert_array_equal(out2["label"], [8, 9, 10, 11])
     assert out2["image"].shape == (4, 1)
+
+
+def test_pallas_rotate_under_shard_map():
+    """The Pallas VMEM rotation kernel is batch-parallel: shard_mapping it
+    over the data axis (how mesh-mode serving runs it — serve/pipeline.py)
+    must reproduce the single-device kernel exactly. Interpret mode stands in
+    for the TPU backend on the CPU mesh."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from facerec_tpu.ops.pallas_warp import rotate_patches_pallas
+    from facerec_tpu.ops.warp_fast import rotate_patches
+
+    n, p, out = 16, 48, 32
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(rng.uniform(0, 1, (n, p, p, 3)).astype(np.float32))
+    angles = jnp.asarray(rng.uniform(-0.2, 0.2, n).astype(np.float32))
+    centers = jnp.asarray(rng.uniform(p / 2 - 3, p / 2 + 3, (n, 2)).astype(np.float32))
+
+    single = np.asarray(rotate_patches_pallas(patches, angles, centers, out, interpret=True))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    sharded = jax.jit(jax.shard_map(
+        lambda pt, an, ce: rotate_patches_pallas(pt, an, ce, out, interpret=True),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    ))(patches, angles, centers)
+    np.testing.assert_array_equal(np.asarray(sharded), single)
+    # and the kernel agrees with the XLA shear chain to float tolerance
+    xla = np.asarray(rotate_patches(patches, angles, centers, out))
+    np.testing.assert_allclose(single, xla, atol=2e-2)
