@@ -41,9 +41,13 @@ def initialize_distributed(
     not given; on Cloud TPU pods all three are auto-detected by jax itself,
     so setting only ``FACEREC_COORDINATOR=auto`` defers entirely to
     ``jax.distributed.initialize()`` defaults. Returns True when multi-process
-    mode was initialized, False when unconfigured (single-host — the only
-    mode testable in this environment; the multi-host path is exercised by a
-    mocked-env unit test, tests/test_parallel.py)."""
+    mode was initialized, False when unconfigured (single-host).
+
+    Tested two ways (tests/test_parallel.py): an env-gating contract test,
+    and an EXECUTED 2-process CPU rendezvous (tests/mp_worker.py) that builds
+    a global mesh over both processes' devices, assembles a global batch from
+    local_slice'd halves, and runs a DP train step whose loss/params match
+    the single-process run."""
     import os
 
     addr = coordinator_address or os.environ.get("FACEREC_COORDINATOR")
