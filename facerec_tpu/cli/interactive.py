@@ -63,33 +63,78 @@ def _choose_dataset() -> str:
 
 
 def _train_wizard() -> tuple[TrainConfig, str]:
+    """Full-depth train wizard (reference interactive.py:249-452): model
+    name, optimizer details, per-scheduler parameters, gradient-clip value,
+    early-stopping patience + min-delta, and the ArcFace block including the
+    two-phase switch epoch. Can express every TrainConfig field the CLI's
+    ``train`` subcommand can."""
     model_type = _choose("Model type:", MODEL_TYPES)
     ds = _choose_dataset()
+    model_name = _ask("model name (empty = automatic versioning)") or None
     epochs = _ask_int("epochs", 50)
     batch = _ask_int("batch size", 16)
-    lr = _ask_float("learning rate", 1e-3)
+    image_size = _ask_int("image size", 224 if model_type != "arcface" else 160)
+    use_lr_finder = _ask_bool("run LR finder first", False)
+    lr = 1e-3 if use_lr_finder else _ask_float("learning rate", 1e-3)
+    weight_decay = _ask_float("weight decay", 1e-4)
+    opt_name = _choose("Optimizer:", ["adam", "adamw", "radam", "sgd"],
+                       default=1 if model_type == "arcface" else 0)
+
     sched_name = _choose("Scheduler:", ["cosine", "warmup_cosine", "plateau", "step",
                                         "one_cycle", "exponential", "constant"],
                          default=1 if model_type == "arcface" else 0)
+    sched_kw: dict = {"name": sched_name}
+    if sched_name == "plateau":  # reference interactive.py:370-373
+        sched_kw["plateau_patience"] = _ask_int("plateau patience", 5)
+        sched_kw["plateau_factor"] = _ask_float("plateau factor", 0.5)
+    elif sched_name == "step":
+        sched_kw["step_size"] = _ask_int("step size (epochs)", 10)
+        sched_kw["gamma"] = _ask_float("step gamma", 0.1)
+    elif sched_name in ("warmup_cosine", "one_cycle"):
+        sched_kw["warmup_epochs"] = _ask_int("warm-up epochs", 5)
+        if sched_name == "one_cycle":
+            mx = _ask_float("one-cycle max LR (0 = 10x base)", 0.0)
+            sched_kw["one_cycle_max_lr"] = mx or None
+    if sched_name not in ("constant",):
+        sched_kw["min_lr"] = _ask_float("minimum LR", 1e-6)
+
     clip = _ask_bool("use gradient clipping", True)
+    clip_norm = _ask_float("max gradient norm", 1.0) if clip else 1.0
     early = _ask_bool("early stopping", True)
+    patience = _ask_int("early-stopping patience", 10) if early else 10
+    min_delta = _ask_float("early-stopping min delta", 0.0) if early else 0.0
+
     arc = ArcFaceConfig()
+    label_smoothing = 0.1
     if model_type == "arcface":
+        print("\nArcFace-specific parameters:")
+        two_phase = _ask_bool("two-phase training (freeze backbone, then fine-tune)", True)
         arc = ArcFaceConfig(
             margin=_ask_float("arcface margin", 0.5),
             scale=_ask_float("arcface scale", 32.0),
             easy_margin=_ask_bool("easy margin", True),
             progressive_margin=_ask_bool("progressive margin", True),
-            two_phase=_ask_bool("two-phase training", True),
+            two_phase=two_phase,
+            two_phase_epoch=(_ask_int("two-phase switch epoch (-1 = epochs/3)", -1)
+                             if two_phase else -1),
             warmup_epochs=_ask_int("margin warmup epochs", 10),
+            label_smoothing=_ask_float("arcface label smoothing", 0.05),
         )
-    opt = OptimizerConfig(name="adamw" if model_type == "arcface" else "adam",
-                          amsgrad=model_type == "arcface", learning_rate=lr,
-                          use_grad_clip=clip)
-    cfg = TrainConfig(model_type=model_type, epochs=epochs, batch_size=batch,
-                      optimizer=opt, scheduler=SchedulerConfig(name=sched_name),
-                      arcface=arc, early_stopping=early,
-                      use_lr_finder=_ask_bool("run LR finder first", False))
+    else:
+        label_smoothing = _ask_float("label smoothing", 0.1)
+
+    opt = OptimizerConfig(name=opt_name, amsgrad=model_type == "arcface",
+                          learning_rate=lr, weight_decay=weight_decay,
+                          use_grad_clip=clip, grad_clip_norm=clip_norm)
+    cfg = TrainConfig(model_type=model_type, model_name=model_name, epochs=epochs,
+                      batch_size=batch, image_size=image_size,
+                      optimizer=opt, scheduler=SchedulerConfig(**sched_kw),
+                      arcface=arc, early_stopping=early, patience=patience,
+                      min_delta=min_delta, label_smoothing=label_smoothing,
+                      seed=_ask_int("seed", 42),
+                      checkpoint_every=_ask_int("checkpoint every N epochs (0 = off)", 0),
+                      resume=_ask_bool("resume from latest epoch checkpoint", False),
+                      use_lr_finder=use_lr_finder)
     return cfg, ds
 
 

@@ -286,6 +286,13 @@ class TuningConfig(_DictMixin):
     # :634-661 find_optimal_lr_for_trial).
     use_lr_finder: bool = False
     lr_finder_span: float = 5.0  # window = [suggested/span, suggested*span]
+    # Per-trial mode (the reference's exact semantics,
+    # hyperparameter_tuning.py:634-661): re-run the range test inside each
+    # trial on the trial's own sampled config (batch size/optimizer shift the
+    # usable LR range) and resample that trial's LR from its own window.
+    # Costs one ~60-step range test per trial; the once-per-study pre-pass
+    # above is the cheap default.
+    use_lr_finder_per_trial: bool = False
 
 
 def set_random_seeds(seed: int = 42) -> None:

@@ -116,8 +116,13 @@ class FaceDemo:
         self.tracker = FaceTracker(config.iou_tracking_threshold)
         self.result_q: "queue.Queue[tuple[np.ndarray, list[dict]]]" = queue.Queue(maxsize=4)
         self.history: list[dict] = []
+        self.capture = UnknownCapture(self)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # device-resident [1, F, D] embeddings of the last processed frame —
+        # fetched per-row only when enrolling (one transfer per enrollment,
+        # not one [F, D] transfer per frame)
+        self._last_embeddings = None
 
     def _webcam_source(self):
         import cv2
@@ -135,10 +140,19 @@ class FaceDemo:
 
         return read
 
-    def start(self):
+    def start(self, prewarm: bool = True):
+        if prewarm:
+            # compile the batch-1 packed program BEFORE the loop starts —
+            # batch-1 is a separate compile from the batch-N serving path and
+            # would otherwise stall the first live frame for the full compile
+            self.prewarm()
         self._stop.clear()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def prewarm(self) -> None:
+        blank = np.zeros((1, *self.pipeline.frame_hw, 3), np.uint8)
+        self.pipeline.process_demo(blank)
 
     def stop(self):
         self._stop.set()
@@ -163,14 +177,39 @@ class FaceDemo:
                 logger.error("demo frame failed: %s", e)
 
     def process_frame(self, frame: np.ndarray) -> list[dict]:
-        faces = self.pipeline.identify(frame[None])[0]
+        # packed demo path: ONE host materialization per frame; the [F, D]
+        # embeddings stay on device (serve/pipeline.py process_demo)
+        packed, emb = self.pipeline.process_demo(frame[None])
+        self._last_embeddings = emb
+        faces = self.pipeline.faces_from_packed(packed)[0]
         ids = self.tracker.update([f["box"] for f in faces])
         for f, fid in zip(faces, ids):
             f["face_id"] = fid
             if f["name"] != "Unknown":
                 self.history.append({"name": f["name"], "distance": f["distance"],
                                      "time": time.strftime("%H:%M:%S")})
+        self.capture.offer(frame, faces)
         return faces
+
+    def embedding_for(self, slot: int) -> np.ndarray:
+        """Fetch ONE face embedding [D] from the last frame's device buffer."""
+        import jax
+
+        if self._last_embeddings is None:
+            raise RuntimeError("no frame processed yet")
+        return np.asarray(jax.device_get(self._last_embeddings[0, slot]))
+
+    def measure_fps(self, n_frames: int = 40, warmup: int = 3) -> float:
+        """Headless demo-loop fps. Honest despite the relay's async dispatch:
+        every frame is DISTINCT (the synthetic source moves the face) and
+        process_frame materializes the packed result on host — a true
+        barrier — so wall-clock over the loop is end-to-end frame latency."""
+        for _ in range(warmup):
+            self.process_frame(self.frame_source())
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            self.process_frame(self.frame_source())
+        return n_frames / (time.perf_counter() - t0)
 
     # gallery management (reference app.py:404-563)
     def add_reference(self, name: str, embedding: np.ndarray, face_img: np.ndarray | None = None):
@@ -182,6 +221,56 @@ class FaceDemo:
         if ok:
             self.pipeline.gallery.save()
         return ok
+
+
+class UnknownCapture:
+    """Auto-capture flow for unknown faces (reference app.py:683-693),
+    streamlit-free so the state logic is unit-testable.
+
+    The first unknown face seen (outside a cooldown window) arms a PENDING
+    capture — its crop and embedding are snapshotted at that frame, so the
+    prompt survives the face leaving the frame. The pending capture persists
+    across frames until ``name()`` enrolls it or ``dismiss()`` drops it;
+    either starts the cooldown so the same stranger doesn't immediately
+    re-arm the prompt."""
+
+    def __init__(self, demo: "FaceDemo", cooldown_s: float = 5.0,
+                 clock: Callable[[], float] = time.time):
+        self.demo = demo
+        self.cooldown_s = cooldown_s
+        self._clock = clock
+        self.pending: dict | None = None
+        self._cooldown_until = 0.0
+
+    def offer(self, frame: np.ndarray, faces: list[dict]) -> bool:
+        """Called once per processed frame; arms a pending capture if an
+        unknown face is present, nothing is pending, and cooldown passed."""
+        if self.pending is not None or self._clock() < self._cooldown_until:
+            return False
+        unknowns = [f for f in faces if f["name"] == "Unknown"]
+        if not unknowns:
+            return False
+        f = unknowns[0]
+        x1, y1, x2, y2 = [max(int(v), 0) for v in f["box"]]
+        crop = np.ascontiguousarray(frame[y1:y2, x1:x2])
+        # snapshot the embedding NOW — the device buffer is per-frame
+        emb = (self.demo.embedding_for(f["slot"]) if "slot" in f
+               else np.asarray(f["embedding"]))
+        self.pending = {"crop": crop, "embedding": emb, "box": f["box"],
+                        "ts": self._clock()}
+        return True
+
+    def name(self, name: str) -> bool:
+        if self.pending is None or not name:
+            return False
+        self.demo.add_reference(name, self.pending["embedding"], self.pending["crop"])
+        self.pending = None
+        self._cooldown_until = self._clock() + self.cooldown_s
+        return True
+
+    def dismiss(self) -> None:
+        self.pending = None
+        self._cooldown_until = self._clock() + self.cooldown_s
 
 
 def synthetic_frame_source(frame_hw: tuple[int, int] = (480, 640), seed: int = 0):
@@ -226,5 +315,29 @@ def run_demo() -> int:
     return subprocess.call([sys.executable, "-m", "streamlit", "run", __file__.replace("app.py", "app_ui.py")])
 
 
+def measure_demo_fps(n_frames: int = 40) -> dict:
+    """Headless demo-loop fps on the synthetic camera (real detector +
+    embedder weights, batch-1 packed path). The README's demo fps number."""
+    pipe = build_default_pipeline()
+    demo = FaceDemo(pipe, frame_source=synthetic_frame_source(pipe.frame_hw))
+    t0 = time.perf_counter()
+    demo.prewarm()
+    compile_s = time.perf_counter() - t0
+    fps = demo.measure_fps(n_frames)
+    return {"demo_fps": round(fps, 2), "frame_ms": round(1000.0 / fps, 2),
+            "prewarm_s": round(compile_s, 1), "n_frames": n_frames}
+
+
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fps", type=int, nargs="?", const=40, default=None,
+                    help="measure headless demo fps over N synthetic frames")
+    a = ap.parse_args()
+    if a.fps:
+        import json
+
+        print(json.dumps(measure_demo_fps(a.fps)))
+        raise SystemExit(0)
     raise SystemExit(run_demo())

@@ -68,8 +68,31 @@ def main() -> None:
         for h in demo.history[-50:][::-1]:
             st.write(f"{h['time']} — {h['name']} ({h['distance']:.2f})")
 
+    # Unknown-face capture flow (reference app.py:683-693): the capture
+    # state lives in demo.capture (UnknownCapture, armed by the processing
+    # loop), NOT in per-iteration widgets. Streamlit widgets must be created
+    # once per script run with STABLE keys — the previous per-frame
+    # key=f"unk_{time.time()}" created a fresh widget every loop iteration,
+    # resetting the input before the user could type. Any widget interaction
+    # reruns the script, which re-renders this form from the persistent
+    # capture state (demo itself persists via st.cache_resource).
+    cap = demo.capture
+    if cap.pending is not None:
+        with st.container():
+            c_img, c_form = st.columns([1, 3])
+            if cap.pending["crop"].size:
+                c_img.image(cap.pending["crop"], caption="Unknown face", width=120)
+            name = c_form.text_input("Unknown face detected — name to add:",
+                                     key="unknown_name")
+            c1, c2 = c_form.columns(2)
+            if c1.button("Add reference", key="unknown_add") and name:
+                if cap.name(name):
+                    st.success(f"added {name}")
+            if c2.button("Dismiss", key="unknown_dismiss"):
+                cap.dismiss()
+
     placeholder = st.empty()
-    unknown_box = st.container()
+    pending_note = st.empty()
     while demo._thread is not None and demo._thread.is_alive():
         try:
             frame, faces = demo.result_q.get(timeout=0.2)
@@ -77,15 +100,11 @@ def main() -> None:
             time.sleep(0.05)
             continue
         placeholder.image(_draw(frame, faces), channels="RGB")
-        unknowns = [f for f in faces if f["name"] == "Unknown"]
-        if unknowns:
-            with unknown_box:
-                name = st.text_input("Unknown face detected — name to add:", key=f"unk_{time.time()}")
-                if name:
-                    f = unknowns[0]
-                    x1, y1, x2, y2 = [int(v) for v in f["box"]]
-                    demo.add_reference(name, f["embedding"], frame[y1:y2, x1:x2])
-                    st.success(f"added {name}")
+        if cap.pending is not None:
+            pending_note.info("Unknown face captured — use the form above to "
+                              "name it (any interaction refreshes the app).")
+        else:
+            pending_note.empty()
 
 
 if __name__ == "__main__":

@@ -118,6 +118,7 @@ class FacePipeline:
         self._step = lambda frames, gallery, count: self._step_raw(
             frames, gallery, count, self.detector_params,
             self.embed_variables if self.embed_variables is not None else ())
+        self._packed_step = self._build_packed_step()
 
     def _build_step(self):
         cfg = self.config
@@ -218,6 +219,67 @@ class FacePipeline:
             return PipelineResult(boxes, d.probs, d.landmarks, valid, emb, scores, idx, dist, is_match)
 
         return step
+
+    def _build_packed_step(self):
+        """Demo-path variant of the step: every host-needed field packed into
+        ONE [B, F, 19] f32 tensor so a frame costs ONE host materialization
+        (each materialized buffer is a ~30 ms runtime round trip; device_get
+        of the full 9-field PipelineResult paid it 9 times per frame).
+        Embeddings stay on device; the demo fetches a single [D] row lazily
+        when enrolling an unknown face (reference app.py:683-693 flow)."""
+        step = self._step_raw
+
+        @jax.jit
+        def packed(frames, gallery, count, det_params, embed_vars):
+            r = step(frames, gallery, count, det_params, embed_vars)
+            b, f = r.probs.shape
+            flat = jnp.concatenate([
+                r.valid[..., None].astype(jnp.float32),          # 0
+                r.probs[..., None].astype(jnp.float32),          # 1
+                r.boxes.astype(jnp.float32),                     # 2:6
+                r.landmarks.reshape(b, f, 10).astype(jnp.float32),  # 6:16
+                r.is_match[..., None].astype(jnp.float32),       # 16
+                r.match_indices[..., :1].astype(jnp.float32),    # 17
+                r.match_distances[..., :1].astype(jnp.float32),  # 18
+            ], axis=-1)
+            return flat, r.embeddings
+
+        return packed
+
+    def process_demo(self, frames: np.ndarray) -> tuple[np.ndarray, jnp.ndarray]:
+        """Demo fast path: (packed host [B,F,19], device embeddings [B,F,D])."""
+        frames = jnp.asarray(frames, jnp.float32)
+        if self._frame_sharding is not None:
+            frames = jax.device_put(frames, self._frame_sharding)
+        flat, emb = self._packed_step(
+            frames, self.gallery.embeddings, self.gallery.count_device,
+            self.detector_params,
+            self.embed_variables if self.embed_variables is not None else ())
+        return np.asarray(jax.device_get(flat)), emb
+
+    def faces_from_packed(self, flat: np.ndarray) -> list[list[dict]]:
+        """Decode a packed [B,F,19] tensor into identify()-shaped face dicts
+        (without the 'embedding' key; 'slot' carries the face-slot index so
+        the caller can fetch the device-resident embedding on demand)."""
+        out = []
+        for bi in range(flat.shape[0]):
+            faces = []
+            for fi in range(flat.shape[1]):
+                row = flat[bi, fi]
+                if row[0] < 0.5:
+                    continue
+                matched = row[16] >= 0.5
+                gi = int(row[17])
+                faces.append({
+                    "slot": fi,
+                    "box": row[2:6].tolist(),
+                    "prob": float(row[1]),
+                    "landmarks": row[6:16].reshape(5, 2).tolist(),
+                    "name": self.gallery.name_of(gi) if matched else "Unknown",
+                    "distance": float(row[18]),
+                })
+            out.append(faces)
+        return out
 
     def process(self, frames: np.ndarray) -> PipelineResult:
         """frames: [B, H, W, 3] uint8/float RGB -> device results. The gallery

@@ -222,6 +222,7 @@ def run_hyperparameter_tuning(
     base_config: TrainConfig | None = None,
     output_dir: str | Path | None = None,
     objective_fn: Callable[[TrainConfig, Any], list[float]] | None = None,
+    lr_finder_fn: Callable[..., dict] | None = None,
 ) -> dict[str, Any]:
     """Run the study. ``objective_fn(config, report) -> per-epoch val accs``
     defaults to a short real training run; injectable for tests."""
@@ -236,14 +237,16 @@ def run_hyperparameter_tuning(
 
     if objective_fn is None:
         objective_fn = _default_objective(dataset_dir, tuning)
+    if lr_finder_fn is None:
+        lr_finder_fn = _run_lr_finder
 
     # LR-finder pre-pass: one range test on the base config centers the LR
     # search window for every sampled trial (reference
     # hyperparameter_tuning.py:193-287 find_optimal_lr_for_trial + :634-661).
     lr_center = None
-    if tuning.use_lr_finder:
+    if tuning.use_lr_finder and not tuning.use_lr_finder_per_trial:
         try:
-            analysis = _run_lr_finder(dataset_dir, base, tuning)
+            analysis = lr_finder_fn(dataset_dir, base, tuning)
             (out_dir / "lr_finder.json").write_text(json.dumps(
                 {k: v for k, v in analysis.items() if not isinstance(v, (list, np.ndarray))}, indent=2))
             if analysis.get("valid"):
@@ -266,6 +269,28 @@ def run_hyperparameter_tuning(
         params = study.suggest(tuning.model_type, number, tuning.use_trial0_baseline,
                                lr_center=lr_center, lr_span=tuning.lr_finder_span)
         cfg = params_to_config(tuning.model_type, params, base)
+        if tuning.use_lr_finder_per_trial:
+            # reference semantics (hyperparameter_tuning.py:634-661): the
+            # range test runs INSIDE the trial on the trial's own config —
+            # batch size and optimizer shift the usable LR range — and the
+            # trial's LR is resampled from its own window
+            try:
+                analysis = lr_finder_fn(dataset_dir, cfg, tuning)
+                if analysis.get("valid"):
+                    lo, hi = Study.lr_window(tuning.model_type,
+                                             float(analysis["suggested_lr"]),
+                                             tuning.lr_finder_span)
+                    params = dict(params)
+                    params["learning_rate"] = float(
+                        np.exp(study.rng.uniform(np.log(lo), np.log(hi))))
+                    params["lr_finder_suggested"] = float(analysis["suggested_lr"])
+                    cfg = params_to_config(tuning.model_type, params, base)
+                    logger.info("trial %d LR finder: %.3e -> window [%.2e, %.2e], lr=%.3e",
+                                number, analysis["suggested_lr"], lo, hi,
+                                params["learning_rate"])
+            except Exception as e:
+                logger.warning("trial %d LR finder failed (%s); keeping sampled LR",
+                               number, e)
         reports: list[float] = []
 
         def report(epoch: int, value: float) -> None:

@@ -62,6 +62,66 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(4)
 
 
+def test_train_wizard_full_depth(monkeypatch):
+    """The interactive train wizard can express every TrainConfig field the
+    CLI can (reference interactive.py:249-452 prompts for clip value,
+    min-delta, two-phase epoch, and per-scheduler parameters)."""
+    import facerec_tpu.cli.interactive as I
+
+    monkeypatch.setattr(I, "_choose_dataset", lambda: "dsdir")
+    answers = iter([
+        "5",       # model type -> arcface
+        "wiz",     # model name
+        "3",       # epochs
+        "8",       # batch size
+        "",        # image size (default 160 for arcface)
+        "n",       # run LR finder first
+        "0.002",   # learning rate
+        "0.0005",  # weight decay
+        "4",       # optimizer -> sgd
+        "4",       # scheduler -> step
+        "7",       # step size
+        "0.3",     # step gamma
+        "1e-05",   # minimum LR
+        "y",       # gradient clipping
+        "2.5",     # max gradient norm
+        "y",       # early stopping
+        "6",       # patience
+        "0.01",    # min delta
+        "y",       # two-phase
+        "0.4",     # margin
+        "48",      # scale
+        "n",       # easy margin
+        "y",       # progressive margin
+        "2",       # two-phase switch epoch
+        "5",       # margin warmup epochs
+        "0.02",    # arcface label smoothing
+        "7",       # seed
+        "2",       # checkpoint every
+        "n",       # resume
+    ])
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+    cfg, ds = I._train_wizard()
+    assert ds == "dsdir"
+    assert (cfg.model_type, cfg.model_name, cfg.epochs, cfg.batch_size,
+            cfg.image_size, cfg.seed) == ("arcface", "wiz", 3, 8, 160, 7)
+    assert cfg.optimizer.name == "sgd"
+    assert cfg.optimizer.learning_rate == 0.002
+    assert cfg.optimizer.weight_decay == 0.0005
+    assert cfg.optimizer.use_grad_clip and cfg.optimizer.grad_clip_norm == 2.5
+    assert cfg.scheduler.name == "step"
+    assert cfg.scheduler.step_size == 7 and cfg.scheduler.gamma == 0.3
+    assert cfg.scheduler.min_lr == 1e-5
+    assert cfg.early_stopping and cfg.patience == 6 and cfg.min_delta == 0.01
+    assert cfg.arcface.two_phase and cfg.arcface.two_phase_epoch == 2
+    assert (cfg.arcface.margin, cfg.arcface.scale) == (0.4, 48.0)
+    assert not cfg.arcface.easy_margin and cfg.arcface.progressive_margin
+    assert cfg.arcface.warmup_epochs == 5
+    assert cfg.arcface.label_smoothing == 0.02
+    assert cfg.checkpoint_every == 2 and not cfg.resume
+    assert next(answers, None) is None  # every scripted answer was consumed
+
+
 def test_compare_all_pretrained_ensemble(synthetic_imagefolder, tmp_path):
     """The compare-all ensemble entry loads the members this run just
     trained. With a single member the ensemble IS that member, so its test

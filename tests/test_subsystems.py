@@ -246,6 +246,93 @@ def test_demo_headless(tiny_pipeline):
     assert isinstance(faces, list)
 
 
+def test_packed_demo_path_matches_identify(tiny_pipeline):
+    """The single-transfer demo path (process_demo + faces_from_packed) must
+    agree with identify() on every host-facing field, and the lazily fetched
+    per-slot embedding must equal the full-result embedding."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 255, (2, 96, 96, 3)).astype(np.float32)
+    ref = tiny_pipeline.identify(frames)
+    packed, emb = tiny_pipeline.process_demo(frames)
+    assert packed.shape == (2, 4, 19)
+    got = tiny_pipeline.faces_from_packed(packed)
+    assert [len(g) for g in got] == [len(r) for r in ref]
+    for g_faces, r_faces in zip(got, ref):
+        for g, r in zip(g_faces, r_faces):
+            assert g["name"] == r["name"]
+            assert g["box"] == pytest.approx(r["box"], abs=1e-4)
+            assert g["prob"] == pytest.approx(r["prob"], rel=1e-5)
+            assert g["distance"] == pytest.approx(r["distance"], rel=1e-4)
+            assert np.asarray(g["landmarks"]) == pytest.approx(
+                np.asarray(r["landmarks"]), abs=1e-3)
+    if got[0]:
+        slot = got[0][0]["slot"]
+        np.testing.assert_allclose(np.asarray(jax.device_get(emb[0, slot])),
+                                   ref[0][0]["embedding"], rtol=1e-5)
+
+
+def test_unknown_capture_flow(tiny_pipeline, monkeypatch):
+    """UnknownCapture state machine (reference app.py:683-693): an unknown
+    face arms ONE pending capture that persists across frames; naming it
+    enrolls into the gallery; cooldown suppresses immediate re-arming.
+    Driven directly (no detector dependence) with a fake clock."""
+    from facerec_tpu.serve.app import FaceDemo, UnknownCapture, synthetic_frame_source
+
+    tiny_pipeline.gallery.clear()
+    demo = FaceDemo(tiny_pipeline, ServeConfig(max_faces=4, skip_frames=0),
+                    frame_source=synthetic_frame_source((96, 96)))
+    emb0 = np.random.default_rng(0).normal(size=512)
+    demo.embedding_for = lambda slot: emb0  # instance shadow, removed below
+    monkeypatch.setattr(tiny_pipeline.gallery, "save", lambda *a, **k: None)
+    now = [0.0]
+    cap = UnknownCapture(demo, cooldown_s=5.0, clock=lambda: now[0])
+
+    frame = demo.frame_source()
+    unk = {"slot": 1, "box": [10.0, 10.0, 40.0, 40.0], "name": "Unknown"}
+    known = {"slot": 0, "box": [0.0, 0.0, 5.0, 5.0], "name": "bob"}
+
+    assert not cap.offer(frame, [known])  # known faces never arm
+    assert cap.offer(frame, [known, unk])
+    first = cap.pending
+    assert first is not None
+    assert first["crop"].shape == (30, 30, 3)
+    np.testing.assert_array_equal(first["embedding"], emb0)
+    assert not cap.offer(frame, [unk])  # pending persists, not replaced
+    assert cap.pending is first
+
+    assert not cap.name("")  # empty name rejected
+    assert cap.name("alice")
+    assert cap.pending is None
+    assert "alice" in tiny_pipeline.gallery.names
+
+    now[0] = 2.0
+    assert not cap.offer(frame, [unk])  # cooldown suppresses re-arming
+    now[0] = 6.0
+    assert cap.offer(frame, [unk])  # cooldown elapsed -> re-arms
+    cap.dismiss()
+    assert cap.pending is None
+    now[0] = 20.0
+    # process_frame wires offer() in: embeddings come from the packed path
+    demo.capture = cap
+    del demo.embedding_for  # restore the real per-slot device fetch
+    faces = demo.process_frame(frame)
+    if any(f["name"] == "Unknown" for f in faces):  # detector-dependent
+        assert cap.pending is not None and cap.pending["embedding"].shape == (512,)
+    tiny_pipeline.gallery.clear()
+
+
+def test_demo_fps_measurement(tiny_pipeline):
+    from facerec_tpu.serve.app import FaceDemo, synthetic_frame_source
+
+    demo = FaceDemo(tiny_pipeline, ServeConfig(max_faces=4, skip_frames=0),
+                    frame_source=synthetic_frame_source((96, 96)))
+    demo.prewarm()
+    fps = demo.measure_fps(n_frames=3, warmup=1)
+    assert fps > 0
+
+
 def test_build_default_pipeline_checkpoint_classes():
     """The demo pipeline must size the ArcFace head from the committed
     checkpoint's arc_weight rows — a hardcoded num_classes made every demo
@@ -408,3 +495,36 @@ def test_tuner_lr_finder_prepass(synthetic_imagefolder, tmp_path):
     assert len(captured) == 4
     for lr in captured:
         assert lo - 1e-12 <= lr <= hi + 1e-12
+
+
+def test_tuner_per_trial_lr_finder(tmp_path):
+    """use_lr_finder_per_trial (reference hyperparameter_tuning.py:634-661):
+    each trial's range test runs on the trial's OWN sampled config, and the
+    trial's LR is resampled from the window centered on that trial's own
+    suggestion."""
+    from facerec_tpu.train.tuning import Study, run_hyperparameter_tuning
+
+    finder_calls = []
+    captured = []
+
+    def fake_finder(dataset_dir, cfg, tuning):
+        # suggestion depends on the trial's batch size -> per-trial windows
+        lr = 1e-3 * (cfg.batch_size / 16)
+        finder_calls.append((cfg.batch_size, cfg.optimizer.name, lr))
+        return {"valid": True, "suggested_lr": lr}
+
+    def objective(cfg, report):
+        captured.append(cfg)
+        return [0.5]
+
+    tcfg = TuningConfig(model_type="baseline", n_trials=4, epochs_per_trial=1,
+                        use_lr_finder=True, use_lr_finder_per_trial=True,
+                        use_trial0_baseline=False, seed=0)
+    run_hyperparameter_tuning(tcfg, tmp_path, output_dir=tmp_path / "o",
+                              objective_fn=objective, lr_finder_fn=fake_finder)
+    assert len(finder_calls) == 4  # once per trial, NOT once per study
+    for (bs, _, lr), cfg in zip(finder_calls, captured):
+        assert cfg.batch_size == bs  # finder saw the trial's own config
+        lo, hi = Study.lr_window("baseline", lr, tcfg.lr_finder_span)
+        assert lo <= cfg.optimizer.learning_rate <= hi, (
+            cfg.optimizer.learning_rate, lo, hi)
