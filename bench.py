@@ -86,11 +86,20 @@ def main() -> None:
     except FileNotFoundError:
         det_params = detector.init(jax.random.key(0))
 
-    embedder = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
+    # init the train-form model, then fold its BatchNorms into the conv/dense
+    # kernels (models/fold.py): serve-time BN becomes one bias-add and XLA
+    # stops re-deriving rsqrt(var+eps) per call (weights are jit args, so it
+    # can't constant-fold them itself)
+    from facerec_tpu.models.fold import fold_batchnorm
+
+    init_model = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
     ex = jnp.zeros((1, cfg.embed_size, cfg.embed_size, 3), jnp.float32)
-    evars = embedder.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
-                          ex, labels=jnp.zeros(1, jnp.int32), train=True)
-    evars = {"params": evars["params"], "batch_stats": evars.get("batch_stats", {})}
+    evars = init_model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                            ex, labels=jnp.zeros(1, jnp.int32), train=True)
+    evars = fold_batchnorm({"params": evars["params"],
+                            "batch_stats": evars.get("batch_stats", {})})
+    embedder = get_model("arcface", num_classes=18, compute_dtype="bfloat16",
+                         arcface_kwargs={"folded": True})
 
     def embed_fn(variables, x):
         return embedder.apply(variables, x, method="embed")

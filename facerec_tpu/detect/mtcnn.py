@@ -205,10 +205,21 @@ class MTCNN:
         k_pnet: int = 64,
         k_rnet: int = 64,
         dtype: Any = jnp.float32,
+        coarse_pnet_threshold: float = 0.0,
     ):
+        """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
+        pyramid levels (proposal side >= half the frame — full-face
+        hypotheses on close-up portraits). P-Net scores at these scales do
+        not transfer to real photographs (measured 0.28/0.004 on reference
+        gallery close-ups whose crops then score 0.9+ at R-Net AND O-Net),
+        so coarse candidates ride their reserved NMS quota on top-k rank
+        alone and R-Net/O-Net arbitrate. Costs nothing: static shapes
+        process all k_rnet crops regardless of validity. Set to
+        ``thresholds[0]`` to restore uniform gating."""
         self.image_hw = image_hw
         self.min_face_size = min_face_size
         self.thresholds = thresholds
+        self.coarse_pnet_threshold = coarse_pnet_threshold
         self.factor = factor
         self.max_faces = max_faces
         self.k_pnet = k_pnet
@@ -247,7 +258,10 @@ class MTCNN:
 
         # ---- stage 1: P-Net over the pyramid --------------------------------
         all_boxes, all_scores, all_valid = [], [], []
+        coarse_side = 0.5 * min(h, w)  # same cut as the stratified NMS below
         for scale in self.scales:
+            p_thr = (self.coarse_pnet_threshold if 12.0 / scale >= coarse_side
+                     else self.thresholds[0])
             sh, sw = max(int(math.ceil(h * scale)), 12), max(int(math.ceil(w * scale)), 12)
             level = resize_bilinear(xn, (sh, sw))
             prob, reg = self.pnet.apply({"params": params["pnet"]}, level)  # [B,h',w'], [B,h',w',4]
@@ -266,7 +280,7 @@ class MTCNN:
             reg_flat = reg.reshape(b, -1, 4)
             reg_k = jnp.take_along_axis(reg_flat, top_i[..., None], axis=1)
             boxes = _apply_regression(boxes, reg_k)
-            valid = top_p > self.thresholds[0]
+            valid = top_p > p_thr
             if boxes.shape[1] < self.k_pnet:  # pad small pyramid levels
                 pad = self.k_pnet - boxes.shape[1]
                 boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
@@ -286,25 +300,32 @@ class MTCNN:
             lambda bb, s_, vv: nms(bb, s_, vv, 0.5, "union", k_keep)))(sb, ss, sv)
         # cross-scale NMS 0.7 with a SCALE-STRATIFIED quota: coarse levels
         # (box side >= half the frame — full-face hypotheses on close-up
-        # portraits) select separately from fine levels, so the handful of
-        # ~0.7-0.9-scoring full-face candidates cannot be rank-starved out of
-        # the static k_rnet budget by dozens of 0.95+ fine-scale sub-part
-        # windows (eyes/noses score high on real photos; measured on the
-        # reference gallery close-ups, tests/test_real_photos.py).
+        # portraits) bypass rank competition against fine levels, so the
+        # handful of ~0.7-0.9-scoring full-face candidates cannot be
+        # rank-starved out of the static k_rnet budget by dozens of 0.95+
+        # fine-scale sub-part windows (eyes/noses score high on real photos;
+        # measured on the reference gallery close-ups,
+        # tests/test_real_photos.py). The quota is PER LEVEL (top-q slots of
+        # each coarse level's own NMS output, which is score-ordered): coarse
+        # P-Net scores do not transfer to real photographs (measured 0.004 on
+        # a portrait whose crop then scores 0.9+ at R-Net and O-Net), so a
+        # shared cross-level quota would let one coarse level's confident
+        # cells evict another's only candidate. R-Net/O-Net arbitrate.
         n_coarse = sum(1 for s in self.scales if 12.0 / s >= 0.5 * min(h, w))
         if 0 < n_coarse < len(self.scales):
-            k_c = min(max(2, self.k_rnet // 8), self.k_rnet - 1)
-            fb, cb = bx[:, :-n_coarse], bx[:, -n_coarse:]  # scales order fine->coarse
-            fs, cs = sc[:, :-n_coarse], sc[:, -n_coarse:]
-            fv, cv = vl[:, :-n_coarse], vl[:, -n_coarse:]
+            q = max(1, (self.k_rnet // 8) // n_coarse)
+            while q > 1 and q * n_coarse > self.k_rnet - 1:
+                q -= 1
+            k_c = min(q * n_coarse, self.k_rnet - 1)
+            # [B, S, k_keep, ...] slots are score-desc per level: take top-q
+            cb2 = bx[:, -n_coarse:, :q].reshape(b, -1, 4)[:, :k_c]
+            cs2 = sc[:, -n_coarse:, :q].reshape(b, -1)[:, :k_c]
+            cv2 = vl[:, -n_coarse:, :q].reshape(b, -1)[:, :k_c]
+            fb, fs, fv = bx[:, :-n_coarse], sc[:, :-n_coarse], vl[:, :-n_coarse]
             fb2, fs2, fv2, _ = jax.vmap(
                 lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet - k_c)
             )(fb.reshape(b, -1, 4), fs.reshape(b, -1), fv.reshape(b, -1))
             fb2, fs2, fv2 = _pad_slots(fb2, fs2, fv2, self.k_rnet - k_c)
-            cb2, cs2, cv2, _ = jax.vmap(
-                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", k_c)
-            )(cb.reshape(b, -1, 4), cs.reshape(b, -1), cv.reshape(b, -1))
-            cb2, cs2, cv2 = _pad_slots(cb2, cs2, cv2, k_c)
             boxes = jnp.concatenate([fb2, cb2], axis=1)
             scores = jnp.concatenate([fs2, cs2], axis=1)
             valid = jnp.concatenate([fv2, cv2], axis=1)

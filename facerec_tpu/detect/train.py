@@ -110,7 +110,9 @@ def _augment_crop(patch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 def make_training_samples(
     n_scenes: int, size: int, seed: int = 0, with_landmarks: bool = False,
-    canvas: int = 128, augment_p: float = 0.7,
+    canvas: int = 128, augment_p: float = 0.7, closeup_p: float = 0.35,
+    subpart_n: int = 2, subpart_scale: tuple[float, float] = (0.2, 0.45),
+    subpart_jitter: float = 0.15,
 ) -> dict[str, np.ndarray]:
     """Mine pos/part/neg patches from synthetic scenes.
 
@@ -133,10 +135,10 @@ def make_training_samples(
         lmk_m.append(0.0 if lmk is None else 1.0)
 
     for _ in range(n_scenes):
-        # 35% extreme close-up portraits (face 90-145% of the canvas, cut at
-        # the frame boundary — the reference gallery JPEGs crop at forehead
-        # AND chin), else the general distribution up to ~125% of the canvas
-        if rng.uniform() < 0.35:
+        # closeup_p extreme close-up portraits (face 90-145% of the canvas,
+        # cut at the frame boundary — the reference gallery JPEGs crop at
+        # forehead AND chin), else the general distribution up to ~125%
+        if rng.uniform() < closeup_p:
             fr = (int(canvas * 0.9), int(canvas * 1.45))
         else:
             fr = (32, int(canvas * 1.25))
@@ -209,11 +211,11 @@ def make_training_samples(
         # were the detector's dominant false-positive mode on real portraits
         # (a 0.91-confidence box on a nose); mining them as explicit
         # negatives teaches "a facial part is not a face".
-        for _ in range(2):
+        for _ in range(subpart_n):
             li = int(rng.integers(0, len(lmk)))
-            ps = side * rng.uniform(0.2, 0.45)
-            px = lmk[li, 0] + rng.uniform(-0.15, 0.15) * ps
-            py = lmk[li, 1] + rng.uniform(-0.15, 0.15) * ps
+            ps = side * rng.uniform(*subpart_scale)
+            px = lmk[li, 0] + rng.uniform(-subpart_jitter, subpart_jitter) * ps
+            py = lmk[li, 1] + rng.uniform(-subpart_jitter, subpart_jitter) * ps
             pbox = np.asarray([px - ps / 2, py - ps / 2, px + ps / 2, py + ps / 2])
             if _iou(pbox, box) < 0.3:
                 add(_crop(img, pbox, size), 0, 1.0)
@@ -265,10 +267,13 @@ def _net_loss(outputs, batch, with_landmarks: bool):
 
 
 def train_net(net, size: int, n_scenes: int, steps: int, batch_size: int = 256,
-              lr: float = 1e-3, seed: int = 0, with_landmarks: bool = False):
-    data = make_training_samples(n_scenes, size, seed, with_landmarks)
+              lr: float = 1e-3, seed: int = 0, with_landmarks: bool = False,
+              init_params=None, sample_kwargs: dict | None = None):
+    data = make_training_samples(n_scenes, size, seed, with_landmarks,
+                                 **(sample_kwargs or {}))
     n = len(data["image"])
-    params = net.init(jax.random.key(seed), jnp.zeros((1, size, size, 3)))["params"]
+    params = (init_params if init_params is not None
+              else net.init(jax.random.key(seed), jnp.zeros((1, size, size, 3)))["params"])
     # cosine decay to lr/10: the final params otherwise sit wherever the last
     # noisy Adam step left them — decay measurably reduces run-to-run recall
     # variance on the real-photo validation set
@@ -315,5 +320,48 @@ def train_detector(
     return path
 
 
+def finetune_refiners(
+    out_dir: str | Path,
+    n_scenes: int = 1500,
+    steps: int = 400,
+    lr: float = 2e-4,
+    seed: int = 10,
+    closeup_p: float = 0.5,
+    subpart_n: int = 4,
+) -> Path:
+    """Fine-tune R-Net and O-Net from the committed weights on a close-up-
+    heavy, part-negative-heavy mix; P-Net is kept verbatim.
+
+    Targets the measured part-vs-whole confusion on the reference gallery
+    close-ups (tests/test_real_photos.py): O-Net scores a real cheek/eye
+    crop 0.92 and the containing full face 0.70, so the final min-mode NMS
+    (which merges nested detections, keeping the higher score) discards the
+    covering box. The fix is score ordering, not NMS semantics — the
+    reference's pretrained O-Net ranks whole above part on these photos.
+
+    Writes a CANDIDATE weight set to ``out_dir`` (never the default path):
+    adopt only after tools/detector_eval.py clears BOTH domains (CLAUDE.md
+    seed-variance rule)."""
+    from facerec_tpu.detect.weights import load_detector_params
+
+    base = load_detector_params()
+    sk = {"closeup_p": closeup_p, "subpart_n": subpart_n,
+          "subpart_scale": (0.2, 0.55), "subpart_jitter": 0.35}
+    logger.info("fine-tuning R-Net (closeup_p=%.2f subpart_n=%d)...", closeup_p, subpart_n)
+    rnet = train_net(RNet(), 24, n_scenes, steps, lr=lr, seed=seed,
+                     init_params=base["rnet"], sample_kwargs=sk)
+    logger.info("fine-tuning O-Net...")
+    onet = train_net(ONet(), 48, n_scenes, steps, lr=lr, seed=seed + 1,
+                     with_landmarks=True, init_params=base["onet"], sample_kwargs=sk)
+    path = save_detector_params({"pnet": base["pnet"], "rnet": rnet, "onet": onet}, out_dir)
+    logger.info("candidate refiner weights saved to %s", path)
+    return path
+
+
 if __name__ == "__main__":
-    train_detector()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "finetune":
+        finetune_refiners(sys.argv[2] if len(sys.argv) > 2 else "outputs/detector_candidate")
+    else:
+        train_detector()

@@ -37,12 +37,20 @@ class ArcFaceNet(nn.Module):
     warmup_epochs: int = 10
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # Serve-time BN-folded variant (models/fold.py): every BatchNorm becomes
+    # a bias-add with its affine baked into the producer kernel. Eval-only.
+    folded: bool = False
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.backbone = ResNet18(name="backbone", **kw)
+        self.backbone = ResNet18(name="backbone", folded=self.folded, **kw)
         self.embedding = nn.Dense(self.embedding_dim, use_bias=False, name="embedding", **kw)
-        self.bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="bn", **kw)
+        if self.folded:
+            from facerec_tpu.models.fold import FoldedBias
+
+            self.bn = FoldedBias(self.embedding_dim, name="bn", **kw)
+        else:
+            self.bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="bn", **kw)
         self.dropout = nn.Dropout(self.dropout_rate)
         # Class-center weight [C, D], xavier-normal with gain sqrt(2)
         # (reference face_models.py:326-327).
@@ -54,8 +62,11 @@ class ArcFaceNet(nn.Module):
         )
 
     def embed(self, x, train: bool = False):
+        if self.folded and train:
+            raise ValueError("folded models are eval-only (BN stats are baked in)")
         x = self.backbone.pooled(x, train=train)  # [B, 512]
-        x = self.bn(self.embedding(x), use_running_average=not train)
+        x = (self.bn(self.embedding(x)) if self.folded
+             else self.bn(self.embedding(x), use_running_average=not train))
         if train:
             x = self.dropout(x, deterministic=False)
         return l2_normalize(x.astype(jnp.float32))

@@ -82,15 +82,22 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
         n_cls = 18
         if ck is not None and "arc_weight" in ck.get("params", {}):
             n_cls = int(ck["params"]["arc_weight"].shape[0])
-        net = get_model("arcface", num_classes=n_cls, compute_dtype="bfloat16")
+        init_net = get_model("arcface", num_classes=n_cls, compute_dtype="bfloat16")
         if ck is not None:
             variables = {"params": ck["params"], "batch_stats": ck.get("batch_stats", {})}
         else:
             ex = np.zeros((1, config.embed_size, config.embed_size, 3), np.float32)
-            v = net.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
-                         ex, labels=np.zeros(1, np.int32), train=True)
+            v = init_net.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                              ex, labels=np.zeros(1, np.int32), train=True)
             variables = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
             logger.warning("no embedder checkpoint — using random-init ArcFace embedder")
+        # serve-time BN fold (models/fold.py): bake running stats into the
+        # kernels; eval output identical, per-call epilogue shrinks to one add
+        from facerec_tpu.models.fold import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
+        net = get_model("arcface", num_classes=n_cls, compute_dtype="bfloat16",
+                        arcface_kwargs={"folded": True})
 
         def embed_fn(v, x):
             return net.apply(v, x, method="embed")
