@@ -92,3 +92,24 @@ def test_weight_provenance_marker(tmp_path):
     (d / "source.txt").unlink()
     _, source = load_detector_params_with_source(d)
     assert source == "self-trained"
+
+
+def test_finetune_refiners_smoke(tmp_path, monkeypatch):
+    """finetune_refiners warm-starts R/O-Net from the committed weights,
+    keeps P-Net verbatim, and writes a CANDIDATE dir with provenance."""
+    from facerec_tpu.detect import train as dtrain
+    from facerec_tpu.detect.weights import load_detector_params_with_source
+
+    det = MTCNN((64, 64), min_face_size=40, max_faces=4, k_pnet=8, k_rnet=8)
+    base = det.init(jax.random.key(3))
+    monkeypatch.setattr(
+        "facerec_tpu.detect.weights.load_detector_params", lambda *a, **k: base)
+    out = dtrain.finetune_refiners(tmp_path / "cand", n_scenes=6, steps=2, seed=5)
+    params, source = load_detector_params_with_source(out)
+    assert source == "self-trained"
+    np.testing.assert_array_equal(
+        np.asarray(params["pnet"]["conv1"]["kernel"]),
+        np.asarray(base["pnet"]["conv1"]["kernel"]))
+    # refiners actually moved
+    assert not np.array_equal(np.asarray(params["onet"]["conv1"]["kernel"]),
+                              np.asarray(base["onet"]["conv1"]["kernel"]))
