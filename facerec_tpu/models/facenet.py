@@ -28,13 +28,24 @@ class BasicConv2d(nn.Module):
     padding: Any = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # serve-time BN-folded form (models/fold.py, eps=1e-3): BN becomes a
+    # bias-add, its affine pre-multiplied into the conv kernel. Eval-only.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, self.kernel, strides=self.strides, padding=self.padding,
                     use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3,
-                         dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
+        if self.folded:
+            if train:
+                raise ValueError("folded models are eval-only (BN stats are baked in)")
+            from facerec_tpu.models.fold import FoldedBias
+
+            x = FoldedBias(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="bn")(x)
+        else:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3,
+                             dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -42,16 +53,18 @@ class Block35(nn.Module):
     scale: float = 0.17
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        b0 = BasicConv2d(32, (1, 1), name="branch0", **kw)(x, train)
-        b1 = BasicConv2d(32, (1, 1), name="branch1_0", **kw)(x, train)
-        b1 = BasicConv2d(32, (3, 3), padding=1, name="branch1_1", **kw)(b1, train)
-        b2 = BasicConv2d(32, (1, 1), name="branch2_0", **kw)(x, train)
-        b2 = BasicConv2d(32, (3, 3), padding=1, name="branch2_1", **kw)(b2, train)
-        b2 = BasicConv2d(32, (3, 3), padding=1, name="branch2_2", **kw)(b2, train)
+        bkw = dict(folded=self.folded, **kw)
+        b0 = BasicConv2d(32, (1, 1), name="branch0", **bkw)(x, train)
+        b1 = BasicConv2d(32, (1, 1), name="branch1_0", **bkw)(x, train)
+        b1 = BasicConv2d(32, (3, 3), padding=1, name="branch1_1", **bkw)(b1, train)
+        b2 = BasicConv2d(32, (1, 1), name="branch2_0", **bkw)(x, train)
+        b2 = BasicConv2d(32, (3, 3), padding=1, name="branch2_1", **bkw)(b2, train)
+        b2 = BasicConv2d(32, (3, 3), padding=1, name="branch2_2", **bkw)(b2, train)
         out = jnp.concatenate([b0, b1, b2], axis=-1)
         out = nn.Conv(256, (1, 1), name="conv2d", **kw)(out)
         return nn.relu(x + self.scale * out)
@@ -61,14 +74,16 @@ class Block17(nn.Module):
     scale: float = 0.10
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        b0 = BasicConv2d(128, (1, 1), name="branch0", **kw)(x, train)
-        b1 = BasicConv2d(128, (1, 1), name="branch1_0", **kw)(x, train)
-        b1 = BasicConv2d(128, (1, 7), padding=((0, 0), (3, 3)), name="branch1_1", **kw)(b1, train)
-        b1 = BasicConv2d(128, (7, 1), padding=((3, 3), (0, 0)), name="branch1_2", **kw)(b1, train)
+        bkw = dict(folded=self.folded, **kw)
+        b0 = BasicConv2d(128, (1, 1), name="branch0", **bkw)(x, train)
+        b1 = BasicConv2d(128, (1, 1), name="branch1_0", **bkw)(x, train)
+        b1 = BasicConv2d(128, (1, 7), padding=((0, 0), (3, 3)), name="branch1_1", **bkw)(b1, train)
+        b1 = BasicConv2d(128, (7, 1), padding=((3, 3), (0, 0)), name="branch1_2", **bkw)(b1, train)
         out = jnp.concatenate([b0, b1], axis=-1)
         out = nn.Conv(896, (1, 1), name="conv2d", **kw)(out)
         return nn.relu(x + self.scale * out)
@@ -79,14 +94,16 @@ class Block8(nn.Module):
     no_relu: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        b0 = BasicConv2d(192, (1, 1), name="branch0", **kw)(x, train)
-        b1 = BasicConv2d(192, (1, 1), name="branch1_0", **kw)(x, train)
-        b1 = BasicConv2d(192, (1, 3), padding=((0, 0), (1, 1)), name="branch1_1", **kw)(b1, train)
-        b1 = BasicConv2d(192, (3, 1), padding=((1, 1), (0, 0)), name="branch1_2", **kw)(b1, train)
+        bkw = dict(folded=self.folded, **kw)
+        b0 = BasicConv2d(192, (1, 1), name="branch0", **bkw)(x, train)
+        b1 = BasicConv2d(192, (1, 1), name="branch1_0", **bkw)(x, train)
+        b1 = BasicConv2d(192, (1, 3), padding=((0, 0), (1, 1)), name="branch1_1", **bkw)(b1, train)
+        b1 = BasicConv2d(192, (3, 1), padding=((1, 1), (0, 0)), name="branch1_2", **bkw)(b1, train)
         out = jnp.concatenate([b0, b1], axis=-1)
         out = nn.Conv(1792, (1, 1), name="conv2d", **kw)(out)
         out = x + self.scale * out
@@ -96,14 +113,16 @@ class Block8(nn.Module):
 class Mixed6a(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        b0 = BasicConv2d(384, (3, 3), strides=2, name="branch0", **kw)(x, train)
-        b1 = BasicConv2d(192, (1, 1), name="branch1_0", **kw)(x, train)
-        b1 = BasicConv2d(192, (3, 3), padding=1, name="branch1_1", **kw)(b1, train)
-        b1 = BasicConv2d(256, (3, 3), strides=2, name="branch1_2", **kw)(b1, train)
+        bkw = dict(folded=self.folded, **kw)
+        b0 = BasicConv2d(384, (3, 3), strides=2, name="branch0", **bkw)(x, train)
+        b1 = BasicConv2d(192, (1, 1), name="branch1_0", **bkw)(x, train)
+        b1 = BasicConv2d(192, (3, 3), padding=1, name="branch1_1", **bkw)(b1, train)
+        b1 = BasicConv2d(256, (3, 3), strides=2, name="branch1_2", **bkw)(b1, train)
         b2 = nn.max_pool(x, (3, 3), strides=(2, 2))
         return jnp.concatenate([b0, b1, b2], axis=-1)
 
@@ -111,17 +130,19 @@ class Mixed6a(nn.Module):
 class Mixed7a(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        b0 = BasicConv2d(256, (1, 1), name="branch0_0", **kw)(x, train)
-        b0 = BasicConv2d(384, (3, 3), strides=2, name="branch0_1", **kw)(b0, train)
-        b1 = BasicConv2d(256, (1, 1), name="branch1_0", **kw)(x, train)
-        b1 = BasicConv2d(256, (3, 3), strides=2, name="branch1_1", **kw)(b1, train)
-        b2 = BasicConv2d(256, (1, 1), name="branch2_0", **kw)(x, train)
-        b2 = BasicConv2d(256, (3, 3), padding=1, name="branch2_1", **kw)(b2, train)
-        b2 = BasicConv2d(256, (3, 3), strides=2, name="branch2_2", **kw)(b2, train)
+        bkw = dict(folded=self.folded, **kw)
+        b0 = BasicConv2d(256, (1, 1), name="branch0_0", **bkw)(x, train)
+        b0 = BasicConv2d(384, (3, 3), strides=2, name="branch0_1", **bkw)(b0, train)
+        b1 = BasicConv2d(256, (1, 1), name="branch1_0", **bkw)(x, train)
+        b1 = BasicConv2d(256, (3, 3), strides=2, name="branch1_1", **bkw)(b1, train)
+        b2 = BasicConv2d(256, (1, 1), name="branch2_0", **bkw)(x, train)
+        b2 = BasicConv2d(256, (3, 3), padding=1, name="branch2_1", **bkw)(b2, train)
+        b2 = BasicConv2d(256, (3, 3), strides=2, name="branch2_2", **bkw)(b2, train)
         b3 = nn.max_pool(x, (3, 3), strides=(2, 2))
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -135,9 +156,13 @@ class InceptionResnetV1(nn.Module):
     repeats: tuple[int, int, int] = (5, 10, 5)  # reduce for fast parity tests
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # serve-time BN-folded form: apply with fold_batchnorm(vars, eps=1e-3)
+    # output (facenet-pytorch BNs use eps=1e-3, unlike the resnet zoo's 1e-5)
+    folded: bool = False
 
     def setup(self):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        base = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(folded=self.folded, **base)
         self.conv2d_1a = BasicConv2d(32, (3, 3), strides=2, name="conv2d_1a", **kw)
         self.conv2d_2a = BasicConv2d(32, (3, 3), name="conv2d_2a", **kw)
         self.conv2d_2b = BasicConv2d(64, (3, 3), padding=1, name="conv2d_2b", **kw)
@@ -151,10 +176,15 @@ class InceptionResnetV1(nn.Module):
         self.repeat_3 = [Block8(name=f"repeat_3_{i}", **kw) for i in range(self.repeats[2])]
         self.block8 = Block8(no_relu=True, name="block8", **kw)
         self.dropout = nn.Dropout(self.dropout_rate)
-        self.last_linear = nn.Dense(512, use_bias=False, name="last_linear", **kw)
-        self.last_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-3, name="last_bn", **kw)
+        self.last_linear = nn.Dense(512, use_bias=False, name="last_linear", **base)
+        if self.folded:
+            from facerec_tpu.models.fold import FoldedBias
+
+            self.last_bn = FoldedBias(512, name="last_bn", **base)
+        else:
+            self.last_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-3, name="last_bn", **base)
         if self.num_classes > 0:
-            self.classify = nn.Dense(self.num_classes, name="logits", **kw)
+            self.classify = nn.Dense(self.num_classes, name="logits", **base)
 
     def features(self, x, train: bool = False):
         x = self.conv2d_1a(x, train)
@@ -176,6 +206,8 @@ class InceptionResnetV1(nn.Module):
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool
         x = self.dropout(x, deterministic=not train)
         x = self.last_linear(x)
+        if self.folded:
+            return self.last_bn(x)
         return self.last_bn(x, use_running_average=not train)
 
     def embed(self, x, train: bool = False):

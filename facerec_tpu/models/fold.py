@@ -50,6 +50,7 @@ _BN_PRODUCERS: dict[str, tuple[str, ...]] = {
     "bn3": ("conv3",),
     "downsample_bn": ("downsample_conv",),
     "bn": ("embedding", "dense", "fc1", "conv"),
+    "last_bn": ("last_linear",),  # InceptionResnetV1 head (eps=1e-3!)
 }
 
 

@@ -64,8 +64,12 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
         from facerec_tpu.models.convert import load_torch_state_dict
         from facerec_tpu.models.facenet import InceptionResnetV1, convert_inception_resnet_v1, fixed_standardize
 
-        net = InceptionResnetV1(dtype=jnp.bfloat16)
-        variables = convert_inception_resnet_v1(load_torch_state_dict(facenet_path))
+        from facerec_tpu.models.fold import fold_batchnorm
+
+        net = InceptionResnetV1(dtype=jnp.bfloat16, folded=True)
+        variables = fold_batchnorm(
+            convert_inception_resnet_v1(load_torch_state_dict(facenet_path)),
+            eps=1e-3)  # facenet-pytorch BN epsilon
 
         def embed_fn(v, x):
             return net.apply(v, fixed_standardize(x))

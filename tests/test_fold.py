@@ -81,3 +81,23 @@ def test_fold_rejects_orphan_bn():
             "params": {"bn1": {"scale": np.ones(4), "bias": np.zeros(4)}},
             "batch_stats": {"bn1": {"mean": np.zeros(4), "var": np.ones(4)}},
         })
+
+
+def test_facenet_fold_matches_eval():
+    """InceptionResnetV1 (facenet-pytorch BN eps=1e-3) folded-vs-eval parity
+    on a reduced-repeat network."""
+    from facerec_tpu.models.facenet import InceptionResnetV1
+
+    rng = np.random.default_rng(4)
+    net = InceptionResnetV1(repeats=(1, 1, 1))
+    x = jnp.asarray(rng.normal(0, 1, (2, 160, 160, 3)).astype(np.float32) * 60 + 120)
+    variables = net.init(jax.random.key(3), x)
+    variables = _randomize_bn(
+        {"params": jax.tree.map(np.asarray, variables["params"]),
+         "batch_stats": jax.tree.map(np.asarray, variables["batch_stats"])}, rng)
+    ref = net.apply(variables, x)
+    folded_vars = fold_batchnorm(variables, eps=1e-3)
+    out = InceptionResnetV1(repeats=(1, 1, 1), folded=True).apply(folded_vars, x)
+    cos = np.sum(np.asarray(out) * np.asarray(ref), axis=-1)
+    assert float(np.min(cos)) > 1 - 1e-6
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
