@@ -281,7 +281,12 @@ def train_net(net, size: int, n_scenes: int, steps: int, batch_size: int = 256,
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, batch):
+    def step(params, opt_state, data_dev, idx):
+        # batch gather happens ON DEVICE (data_dev is a device-resident jit
+        # ARGUMENT — closing over it would inline ~hundreds of MB into the
+        # HLO as a constant and bust the compile cache)
+        batch = {k: v[idx] for k, v in data_dev.items()}
+
         def loss_fn(p):
             out = net.apply({"params": p}, batch["image"])
             return _net_loss(out, batch, with_landmarks)
@@ -292,10 +297,15 @@ def train_net(net, size: int, n_scenes: int, steps: int, batch_size: int = 256,
 
     rng = np.random.default_rng(seed)
     t0 = time.time()
+    # dataset lives ON DEVICE, uploaded ONCE; batches are gathered there by
+    # index. Host-side per-step batch assembly re-uploaded ~7 MB/step through
+    # the transfer tunnel and dominated wall time (measured 2.4 s/step for
+    # O-Net vs ~0.1 s compute) — CLAUDE.md trap #5.
+    data_dev = jax.device_put(data)
+
     for i in range(steps):
-        idx = rng.integers(0, n, batch_size)
-        batch = {k: jnp.asarray(v[idx]) for k, v in data.items()}
-        params, opt_state, loss, cls = step(params, opt_state, batch)
+        idx = jnp.asarray(rng.integers(0, n, batch_size))
+        params, opt_state, loss, cls = step(params, opt_state, data_dev, idx)
         if (i + 1) % max(steps // 5, 1) == 0:
             logger.info("  step %d/%d loss=%.4f cls=%.4f", i + 1, steps, float(loss), float(cls))
     logger.info("trained %s in %.1fs (%d samples)", type(net).__name__, time.time() - t0, n)
