@@ -178,6 +178,34 @@ def _pad_slots(bx: jnp.ndarray, sc: jnp.ndarray, vl: jnp.ndarray,
     return bx, sc, vl
 
 
+def demote_nested(boxes: jnp.ndarray, scores: jnp.ndarray,
+                  valid: jnp.ndarray) -> jnp.ndarray:
+    """Whole-over-part score demotion for the final min-mode NMS.
+
+    A detection nested inside a larger valid detection (containment >= 0.8,
+    area ratio >= 1.5) gets its score dropped by 1.0 so the covering box
+    wins the merge. Containment >= 0.8 implies min-overlap >= 0.8 > 0.7 —
+    the pair merges either way; this only flips which one survives. Faces
+    do not nest, so the outer box is the face and the inner one a facial
+    part (eye/nose/cheek — which synthetic-trained R/O-Nets score HIGHER
+    than the whole face on real close-up portraits; measured part 0.92 vs
+    whole 0.70 on the reference gallery, tests/test_real_photos.py). The
+    reference's pretrained O-Net gets the score order right by itself
+    (reference app.py:274-286). Inputs are batched [B, N, 4] / [B, N]."""
+    ix1 = jnp.maximum(boxes[:, :, None, 0], boxes[:, None, :, 0])
+    iy1 = jnp.maximum(boxes[:, :, None, 1], boxes[:, None, :, 1])
+    ix2 = jnp.minimum(boxes[:, :, None, 2], boxes[:, None, :, 2])
+    iy2 = jnp.minimum(boxes[:, :, None, 3], boxes[:, None, :, 3])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    area = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
+        jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)  # [B, N]
+    cont = inter / jnp.maximum(area[:, :, None], 1e-12)  # frac of i inside j
+    is_part = jnp.any(
+        (cont >= 0.8) & (area[:, None, :] >= 1.5 * area[:, :, None])
+        & valid[:, None, :], axis=2)
+    return jnp.where(is_part, scores - 1.0, scores)
+
+
 def _square(boxes: jnp.ndarray) -> jnp.ndarray:
     """rerec: expand to square around center (original MTCNN postprocess)."""
     w = boxes[..., 2] - boxes[..., 0]
@@ -206,6 +234,8 @@ class MTCNN:
         k_rnet: int = 64,
         dtype: Any = jnp.float32,
         coarse_pnet_threshold: float = 0.0,
+        k_large: int = 4,
+        prefer_whole: bool = True,
     ):
         """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
         pyramid levels (proposal side >= half the frame — full-face
@@ -215,11 +245,30 @@ class MTCNN:
         so coarse candidates ride their reserved NMS quota on top-k rank
         alone and R-Net/O-Net arbitrate. Costs nothing: static shapes
         process all k_rnet crops regardless of validity. Set to
-        ``thresholds[0]`` to restore uniform gating."""
+        ``thresholds[0]`` to restore uniform gating.
+
+        ``k_large``: reserved O-Net slots for LARGE R-Net survivors (box side
+        >= half the frame after R-Net regression). The stage-2 NMS keeps only
+        ``max_faces`` slots and R-Net ranks facial-part crops above the whole
+        face on real close-up portraits (measured 0.98 for a cheek crop vs
+        0.94 for the face on the reference gallery), so the covering box was
+        rank-starved out of O-Net's input entirely. The extra slots make
+        O-Net's batch ``max_faces + k_large`` (static); the final NMS still
+        returns ``max_faces``. Set 0 to disable.
+
+        ``prefer_whole``: at the final min-mode NMS, a detection nested
+        inside a larger valid detection (containment >= 0.8, area ratio
+        >= 1.5) is demoted below it, so the covering face box wins over a
+        facial-part box regardless of O-Net score order. Faces do not nest;
+        the reference's pretrained O-Net achieves this via score order alone
+        (reference app.py:274-286), which synthetic-trained nets do not
+        reproduce on real photos (part 0.92 vs whole 0.70 measured)."""
         self.image_hw = image_hw
         self.min_face_size = min_face_size
         self.thresholds = thresholds
         self.coarse_pnet_threshold = coarse_pnet_threshold
+        self.k_large = k_large
+        self.prefer_whole = prefer_whole
         self.factor = factor
         self.max_faces = max_faces
         self.k_pnet = k_pnet
@@ -337,34 +386,55 @@ class MTCNN:
         boxes = _square(boxes)
 
         # ---- stage 2: R-Net ---------------------------------------------------
+        mf = self.max_faces
         crops = jax.vmap(lambda im, bx: crop_resize_matmul(im, bx, 24))(xn, boxes)
         rp, rreg = self.rnet.apply({"params": params["rnet"]}, crops.reshape(-1, 24, 24, 3))
         rp = rp.reshape(b, self.k_rnet)
         rreg = rreg.reshape(b, self.k_rnet, 4)
-        valid = valid & (rp > self.thresholds[1])
-        boxes = _apply_regression(boxes, rreg)
-        boxes, scores, valid, _ = jax.vmap(
-            lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.max_faces)
-        )(boxes, rp, valid)
-        boxes, scores, valid = _pad_slots(boxes, scores, valid, self.max_faces)
+        rvalid = valid & (rp > self.thresholds[1])
+        rboxes = _apply_regression(boxes, rreg)
+        fb, fs, fv, _ = jax.vmap(
+            lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", mf)
+        )(rboxes, rp, rvalid)
+        fb, fs, fv = _pad_slots(fb, fs, fv, mf)
+        if self.k_large > 0:
+            # reserved slots for large survivors (full-face hypotheses on
+            # close-up portraits): R-Net ranks part crops above the whole
+            # face on real photos, so without these the covering box is
+            # rank-starved out of the mf-slot budget before O-Net ever
+            # scores it (see __init__ docstring).
+            side = jnp.maximum(rboxes[..., 2] - rboxes[..., 0],
+                               rboxes[..., 3] - rboxes[..., 1])
+            large = rvalid & (side >= 0.5 * min(h, w))
+            lb, ls, lv, _ = jax.vmap(
+                lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.k_large)
+            )(rboxes, rp, large)
+            lb, ls, lv = _pad_slots(lb, ls, lv, self.k_large)
+            boxes = jnp.concatenate([fb, lb], axis=1)
+            valid = jnp.concatenate([fv, lv], axis=1)
+        else:
+            boxes, valid = fb, fv
         boxes = _square(boxes)
 
         # ---- stage 3: O-Net ---------------------------------------------------
-        mf = self.max_faces
+        ns = mf + max(self.k_large, 0)  # O-Net slots (fine + large quota)
         crops = jax.vmap(lambda im, bx: crop_resize_matmul(im, bx, 48))(xn, boxes)
         op, oreg, olmk = self.onet.apply({"params": params["onet"]}, crops.reshape(-1, 48, 48, 3))
-        op = op.reshape(b, mf)
-        oreg = oreg.reshape(b, mf, 4)
-        olmk = olmk.reshape(b, mf, 10)
+        op = op.reshape(b, ns)
+        oreg = oreg.reshape(b, ns, 4)
+        olmk = olmk.reshape(b, ns, 10)
         valid = valid & (op > self.thresholds[2])
         bwd = boxes[..., 2] - boxes[..., 0]
         bht = boxes[..., 3] - boxes[..., 1]
         lx = boxes[..., 0:1] + olmk[..., 0:5] * bwd[..., None]
         ly = boxes[..., 1:2] + olmk[..., 5:10] * bht[..., None]
-        landmarks = jnp.stack([lx, ly], axis=-1)  # [B, mf, 5, 2]
+        landmarks = jnp.stack([lx, ly], axis=-1)  # [B, ns, 5, 2]
         boxes = _apply_regression(boxes, oreg)
-        boxes, op, valid, idx = jax.vmap(
+        op_eff = demote_nested(boxes, op, valid) if self.prefer_whole else op
+        boxes, _, valid, idx = jax.vmap(
             lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "min", mf)
-        )(boxes, op, valid)
+        )(boxes, op_eff, valid)
+        probs = jnp.where(
+            valid, jnp.take_along_axis(op.astype(jnp.float32), idx, axis=1), 0.0)
         landmarks = jnp.take_along_axis(landmarks, idx[..., None, None], axis=1)
-        return Detections(boxes=boxes, probs=op, landmarks=landmarks, valid=valid)
+        return Detections(boxes=boxes, probs=probs, landmarks=landmarks, valid=valid)

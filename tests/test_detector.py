@@ -113,3 +113,39 @@ def test_finetune_refiners_smoke(tmp_path, monkeypatch):
     # refiners actually moved
     assert not np.array_equal(np.asarray(params["onet"]["conv1"]["kernel"]),
                               np.asarray(base["onet"]["conv1"]["kernel"]))
+
+
+def test_demote_nested_whole_over_part():
+    """A facial-part box nested in a larger valid face box is demoted below
+    it, so the covering box wins the final min-NMS; non-nested overlaps keep
+    raw score order (detect/mtcnn.demote_nested)."""
+    from facerec_tpu.detect.mtcnn import demote_nested
+    from facerec_tpu.ops.nms import nms
+
+    boxes = jnp.asarray([[
+        [0.0, 0.0, 100.0, 100.0],   # whole face, lower score
+        [30.0, 30.0, 62.0, 62.0],   # nested part, higher score -> demoted
+        [90.0, 10.0, 150.0, 70.0],  # partial overlap, NOT nested
+    ]])
+    scores = jnp.asarray([[0.70, 0.95, 0.90]])
+    valid = jnp.ones((1, 3), bool)
+    eff = np.asarray(demote_nested(boxes, scores, valid))
+    assert eff[0, 1] < 0.0 and eff[0, 0] == 0.70 and eff[0, 2] == 0.90
+    b, s, v, idx = nms(boxes[0], jnp.asarray(eff[0]), valid[0], 0.7, "min", 3)
+    kept = set(np.asarray(idx)[np.asarray(v)].tolist())
+    assert 0 in kept and 1 not in kept  # whole survives, part merged away
+    # the whole box must itself be valid for demotion to trigger
+    valid2 = valid.at[0, 0].set(False)
+    eff2 = np.asarray(demote_nested(boxes, scores, valid2))
+    assert eff2[0, 1] == 0.95
+
+
+def test_large_quota_feeds_onet():
+    """k_large reserves O-Net slots for large R-Net survivors; output stays
+    [B, max_faces] and both k_large settings trace (static shapes)."""
+    for k_large in (0, 4):
+        det = MTCNN((64, 64), min_face_size=40, thresholds=(0.3, 0.3, 0.3),
+                    max_faces=4, k_pnet=8, k_rnet=8, k_large=k_large)
+        params = det.init(jax.random.key(0))
+        out = det.detect(params, jnp.zeros((2, 64, 64, 3)))
+        assert out.boxes.shape == (2, 4, 4) and out.valid.shape == (2, 4)

@@ -13,11 +13,12 @@ the synthetic->real transfer actually holds on those 7 real photographs:
     full-face candidates score ~0.7-0.9 vs 0.95+ for fine-scale windows).
     The committed weights (train_detector n_scenes=2500, steps=800) measure
     7/7; the floor is one notch lower to tolerate retrain variance.
-  * localization: boxes land on the central face region for >= 5/7, and the
-    frame-filling portrait is fully covered for >= 2/7. Full-box coverage on
-    extreme close-ups is the documented open gap of the hermetic
-    synthetic-domain detector: transfer degrades with resolution (P-Net 12px
-    blobs transfer best; O-Net 48px sees the renderer's geometry).
+  * localization: boxes land on the central face region for >= 6/7, and the
+    frame-filling portrait is fully covered for >= 5/7 (measured 6/7: the
+    large-candidate O-Net quota + whole-over-part NMS demotion in
+    detect/mtcnn.py let the covering hypothesis win over facial-part
+    windows; the one remaining miss is a 33x42 near-black JPEG whose face
+    the nets never score at coarse scale).
   * the full detect->align->embed->match pipeline re-identifies each photo
     against a gallery built from the photos themselves (self-match sanity)
 
@@ -91,10 +92,13 @@ def test_real_photo_box_localization(photos, det_params):
         portraits are centered) — not a corner/background false positive.
       * covered: the LARGEST valid box spans >= half of each side, i.e. the
         detector produced a genuine full-face hypothesis (needs the oversize
-        pyramid levels, detect/mtcnn.py pyramid_scales, AND that hypothesis
-        surviving rank competition against fine-scale sub-part windows).
-    Full coverage on every close-up is the open gap — the hermetic synthetic
-    renderer's geometry stops transferring at O-Net's 48px resolution."""
+        pyramid levels, detect/mtcnn.py pyramid_scales, the reserved
+        large-candidate O-Net quota, AND the whole-over-part demotion at the
+        final min-NMS — R-Net/O-Net rank facial-part crops above the whole
+        face on real photos, so rank alone starves or suppresses the
+        covering box).
+    Measured 6/7 covered; the miss is random3_00000003.jpg (33x42 near-black
+    source) where no coarse-scale hypothesis scores at all."""
     names, frames = photos
     out = _detect(det_params, frames)
     valid, boxes = np.asarray(out.valid), np.asarray(out.boxes)
@@ -117,8 +121,8 @@ def test_real_photo_box_localization(photos, det_params):
                 hits_central = True
         central += hits_central
         covered += best_w >= 80 and best_h >= 80
-    assert central >= 5, f"only {central}/{len(names)} detections touch the central face region"
-    assert covered >= 2, f"only {covered}/{len(names)} portraits got a full-face box"
+    assert central >= 6, f"only {central}/{len(names)} detections touch the central face region"
+    assert covered >= 5, f"only {covered}/{len(names)} portraits got a full-face box"
 
 
 def test_real_photo_pipeline_self_match(photos, det_params):
