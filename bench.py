@@ -70,10 +70,10 @@ def main() -> None:
     from facerec_tpu.serve.pipeline import FacePipeline
 
     frame_hw = (480, 640)
-    # batch 32 ~ 1s of 30fps video per dispatch; the two-level bf16 shear
-    # chain removed the old bandwidth wall at batch>=16 (8: 14.3k, 16: 15.4k,
-    # 32: 16.9k faces/s on v5e)
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    # Batch sweep on v5e (same machine state, round 3): 32 -> 22.4k,
+    # 48 -> 23.9k, 64 -> 23.2k faces/s — 48 is the sweet spot; the round-2
+    # "batch-64 knee" (64 regressing below 32) no longer reproduces.
+    batch = int(os.environ.get("BENCH_BATCH", 48))
     cfg = ServeConfig(max_faces=8, gallery_capacity=1024, top_k=5, embed_size=160,
                       detection_threshold=0.0)  # thresholds don't change the compute
 

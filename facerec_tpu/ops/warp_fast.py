@@ -46,9 +46,18 @@ def _bilinear_weights(starts: jnp.ndarray, scales: jnp.ndarray, out_size: int,
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - s[None, None, :]))  # [N, out, in]
 
 
-def crop_resize_matmul(image: jnp.ndarray, boxes: jnp.ndarray, out_size: int) -> jnp.ndarray:
+def crop_resize_matmul(image: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
+                       out_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """N axis-aligned crops from ONE image [H, W, C] -> [N, out, out, C],
-    resampled entirely with matmuls (no dynamic indexing)."""
+    resampled entirely with matmuls (no dynamic indexing).
+
+    ``out_dtype=bf16`` saves the consumer-side cast for callers that compute
+    in bf16 anyway (detector crops, the serve pipeline) — value-identical to
+    returning f32 and casting later. The row-pass intermediate stays f32:
+    producing it directly in bf16 (preferred_element_type=bf16) was measured
+    perf-NEUTRAL (XLA already fuses the cast into the dot epilogue) while
+    costing accuracy — XLA may accumulate multi-pass K-contraction partials
+    at the output precision, and bench detection dropped 216->209/256."""
     h, w, _ = image.shape
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     sy = jnp.maximum(y2 - y1, 1.0) / out_size
@@ -57,8 +66,9 @@ def crop_resize_matmul(image: jnp.ndarray, boxes: jnp.ndarray, out_size: int) ->
     wx = _bilinear_weights(x1, sx, out_size, w)  # [N, P, W]
     t = jnp.einsum("nph,hwc->npwc", wy.astype(jnp.bfloat16), image.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
-    return jnp.einsum("nqw,npwc->npqc", wx.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("nqw,npwc->npqc", wx.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
 
 
 def _shear_x(patch: jnp.ndarray, slope: jnp.ndarray, const: jnp.ndarray, k_lo: int, k_hi: int,
@@ -176,7 +186,10 @@ def _align_prep(image: jnp.ndarray, boxes: jnp.ndarray, landmarks: jnp.ndarray,
     p_size = int(round(out_size * (1 + 2 * pad) / 8)) * 8
     extra = (p_size - out_size) / (2.0 * out_size)  # box-relative pad each side
     big = jnp.stack([x1 - extra * bw, y1 - extra * bh, x2 + extra * bw, y2 + extra * bh], axis=-1)
-    patches = crop_resize_matmul(image, big, p_size)
+    # bf16 patches: the rotation chain casts to bf16 as its first step either
+    # way (rotate_patches / rotate_patches_pallas), so producing bf16 here is
+    # value-identical and halves the [N, P, P, C] write + re-read
+    patches = crop_resize_matmul(image, big, p_size, out_dtype=jnp.bfloat16)
 
     le, re = landmarks[:, 0], landmarks[:, 1]
     angle = jnp.arctan2(re[:, 1] - le[:, 1], re[:, 0] - le[:, 0])
@@ -187,7 +200,8 @@ def _align_prep(image: jnp.ndarray, boxes: jnp.ndarray, landmarks: jnp.ndarray,
     return patches, angle, centers
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "pad", "max_angle_deg"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_size", "pad", "max_angle_deg", "out_dtype"))
 def align_and_crop_fast(
     image: jnp.ndarray,  # [H, W, C]
     boxes: jnp.ndarray,  # [N, 4] x1y1x2y2
@@ -195,17 +209,20 @@ def align_and_crop_fast(
     out_size: int,
     pad: float = 0.15,
     max_angle_deg: float = 15.0,
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Gather-free counterpart of ops.image.align_and_crop_from: eye-leveling
     rotation + crop + resize, [N, out, out, C]."""
     patches, angle, centers = _align_prep(image, boxes, landmarks, out_size, pad)
     # the reference rotates the image by +angle (leveling eyes); the sampling
     # map is the inverse rotation
-    return rotate_patches(patches, angle, centers, out_size, max_angle_deg)
+    return rotate_patches(patches, angle, centers, out_size,
+                          max_angle_deg).astype(out_dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_size", "pad", "max_angle_deg", "use_pallas"))
+                   static_argnames=("out_size", "pad", "max_angle_deg", "use_pallas",
+                                    "out_dtype"))
 def align_and_crop_fast_batched(
     frames: jnp.ndarray,  # [B, H, W, C]
     boxes: jnp.ndarray,  # [B, F, 4]
@@ -214,6 +231,7 @@ def align_and_crop_fast_batched(
     pad: float = 0.15,
     max_angle_deg: float = 15.0,
     use_pallas: bool | None = None,
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Whole-batch align: per-frame crop matmuls, then ONE flat rotation over
     all B*F patches — on TPU via the VMEM-resident Pallas shear kernel
@@ -238,4 +256,4 @@ def align_and_crop_fast_batched(
     else:
         rot = rotate_patches(flat, angle.reshape(-1), centers.reshape(-1, 2),
                              out_size, max_angle_deg)
-    return rot.reshape(b, f, out_size, out_size, ch)
+    return rot.reshape(b, f, out_size, out_size, ch).astype(out_dtype)
