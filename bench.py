@@ -78,7 +78,8 @@ def main() -> None:
                       detection_threshold=0.0)  # thresholds don't change the compute
 
     detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
-                     k_pnet=64, k_rnet=32, dtype=jnp.bfloat16)
+                     k_pnet=64, k_rnet=32, dtype=jnp.bfloat16,
+                     input_range="255")  # skip the per-call range reduce (~0.7 ms)
     try:
         from facerec_tpu.detect.weights import load_detector_params
 

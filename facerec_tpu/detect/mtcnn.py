@@ -237,6 +237,7 @@ class MTCNN:
         k_large: int = 4,
         prefer_whole: bool = True,
         approx_topk: bool = True,
+        input_range: str = "auto",
     ):
         """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
         pyramid levels (proposal side >= half the frame — full-face
@@ -271,6 +272,12 @@ class MTCNN:
         self.k_large = k_large
         self.prefer_whole = prefer_whole
         self.approx_topk = approx_topk
+        if input_range not in ("auto", "255", "1"):
+            raise ValueError(f"input_range must be auto/255/1, got {input_range!r}")
+        # "auto" infers 0..1 vs 0..255 per call via jnp.max — a full reduce
+        # over the frame batch that costs ~0.7 ms at serve shapes (batch 48).
+        # Serving paths that KNOW their scale pass "255" (or "1") and skip it.
+        self.input_range = input_range
         self.factor = factor
         self.max_faces = max_faces
         self.k_pnet = k_pnet
@@ -301,7 +308,10 @@ class MTCNN:
         b, h, w, _ = images.shape
         assert (h, w) == self.image_hw, f"built for {self.image_hw}, got {(h, w)}"
         x = images.astype(jnp.float32)
-        x = jnp.where(jnp.max(x) <= 2.0, x * 255.0, x)
+        if self.input_range == "auto":
+            x = jnp.where(jnp.max(x) <= 2.0, x * 255.0, x)
+        elif self.input_range == "1":
+            x = x * 255.0
         # pyramid + crops in the cascade's compute dtype (bf16 in serving):
         # the pyramid re-reads every frame once per level, so this halves the
         # detect stage's dominant HBM traffic; 8-bit image data loses nothing

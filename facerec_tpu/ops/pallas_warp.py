@@ -68,44 +68,70 @@ def _line_weights(slope, const, p: int, k_lo: int, k_hi: int):
 def _rotate_kernel(x_ref, w1c_ref, w1f_ref, w2c_ref, w2f_ref, w3c_ref, w3f_ref,
                    out_ref, padx, padyb, *, p: int, e: int, c: int,
                    bx: tuple, by: tuple):
-    """One patch per grid step; everything below happens in VMEM."""
+    """One patch per grid step; everything below happens in VMEM.
+
+    Crop-aware: only the first shear computes the full [P, P*C] — the y pass
+    produces just the E output rows (+COARSE+1 halo) the final pass reads,
+    and the final x pass produces just the E*C cropped lanes. Scratch zeroing
+    touches only the halo strips (the center is overwritten) — the original
+    full-buffer zero + full-size passes 2/3 cost ~35% more VPU work and
+    writes for values the center crop then discarded."""
     cx_lo, cx_hi, px_lo, _ = bx
     cy_lo, cy_hi, py_lo, _ = by
-    w1x = p + COARSE + 1  # stage-1 output width (pixels) for x passes
-    w1y = p + COARSE + 1  # stage-1 output height for the y pass
+    w1x = p + COARSE + 1  # stage-1 output width (pixels) for the full x pass
     dt = x_ref.dtype
+    off = (p - e) // 2
+    padx_w = padx.shape[1] // c
+    pady_h = padyb.shape[0]
 
-    def shear_x(x, wc, wf):
-        # x: [P, P*C]; shift varies per row -> [P, 1] weight broadcasts
-        padx[:] = jnp.zeros_like(padx)
-        padx[:, px_lo * c:(px_lo + p) * c] = x
-        out1 = jnp.zeros((p, w1x * c), dt)
-        for si in range(cx_hi - cx_lo + 1):
-            off = ((cx_lo + si) * COARSE + px_lo) * c
-            out1 = out1 + wc[:, si:si + 1].astype(dt) * padx[:, off:off + w1x * c]
-        out = jnp.zeros((p, p * c), dt)
-        for k in range(COARSE + 1):
-            out = out + wf[:, k:k + 1].astype(dt) * out1[:, k * c:(k + p) * c]
-        return out
+    def load_padx(x, rows):
+        # halo-only zeroing; center columns are overwritten with x
+        if px_lo:
+            padx[:rows, : px_lo * c] = jnp.zeros((rows, px_lo * c), dt)
+        hi = padx_w - px_lo - p
+        if hi:
+            padx[:rows, (px_lo + p) * c:] = jnp.zeros((rows, hi * c), dt)
+        padx[:rows, px_lo * c:(px_lo + p) * c] = x
 
-    x = x_ref[0]  # [P, P*C]
-    x = shear_x(x, w1c_ref[0], w1f_ref[0])
-
-    # y pass: shift varies per column; weights pre-expanded to [*, P*C]
-    padyb[:] = jnp.zeros_like(padyb)
-    padyb[py_lo:py_lo + p, :] = x
-    out1 = jnp.zeros((w1y, p * c), dt)
-    for si in range(cy_hi - cy_lo + 1):
-        off = (cy_lo + si) * COARSE + py_lo
-        out1 = out1 + w2c_ref[0, si:si + 1, :].astype(dt) * padyb[off:off + w1y, :]
+    # ---- pass 1: full x shear (the y pass mixes every row) ----------------
+    load_padx(x_ref[0], p)
+    out1 = jnp.zeros((p, w1x * c), dt)
+    for si in range(cx_hi - cx_lo + 1):
+        o = ((cx_lo + si) * COARSE + px_lo) * c
+        out1 = out1 + w1c_ref[0][:, si:si + 1].astype(dt) * padx[:p, o:o + w1x * c]
     x = jnp.zeros((p, p * c), dt)
     for k in range(COARSE + 1):
-        x = x + w2f_ref[0, k:k + 1, :].astype(dt) * out1[k:k + p, :]
+        x = x + w1f_ref[0][:, k:k + 1].astype(dt) * out1[:, k * c:(k + p) * c]
 
-    x = shear_x(x, w3c_ref[0], w3f_ref[0])
+    # ---- pass 2: y shear, restricted to rows [off, off+e) + fine halo -----
+    if py_lo:
+        padyb[:py_lo, :] = jnp.zeros((py_lo, p * c), dt)
+    hi = pady_h - py_lo - p
+    if hi:
+        padyb[py_lo + p:, :] = jnp.zeros((hi, p * c), dt)
+    padyb[py_lo:py_lo + p, :] = x
+    w2h = e + COARSE + 1  # rows of the stage-1 y output the fine taps read
+    out1 = jnp.zeros((w2h, p * c), dt)
+    for si in range(cy_hi - cy_lo + 1):
+        o = (cy_lo + si) * COARSE + py_lo + off
+        out1 = out1 + w2c_ref[0, si:si + 1, :].astype(dt) * padyb[o:o + w2h, :]
+    x = jnp.zeros((e, p * c), dt)
+    for k in range(COARSE + 1):
+        x = x + w2f_ref[0, k:k + 1, :].astype(dt) * out1[k:k + e, :]
 
-    off = (p - e) // 2
-    out_ref[0] = x[off:off + e, off * c:(off + e) * c]
+    # ---- pass 3: x shear on the E kept rows, producing the E*C crop -------
+    load_padx(x, e)
+    w3x = e + COARSE + 1
+    out1 = jnp.zeros((e, w3x * c), dt)
+    wc3 = w3c_ref[0][off:off + e]
+    wf3 = w3f_ref[0][off:off + e]
+    for si in range(cx_hi - cx_lo + 1):
+        o = ((cx_lo + si) * COARSE + px_lo + off) * c
+        out1 = out1 + wc3[:, si:si + 1].astype(dt) * padx[:e, o:o + w3x * c]
+    out = jnp.zeros((e, e * c), dt)
+    for k in range(COARSE + 1):
+        out = out + wf3[:, k:k + 1].astype(dt) * out1[:, k * c:(k + e) * c]
+    out_ref[0] = out
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "max_angle_deg", "interpret"))

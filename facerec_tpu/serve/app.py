@@ -54,7 +54,8 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
     except FileNotFoundError:
         det_params, thresholds = None, CALIBRATED_THRESHOLDS
     detector = MTCNN(frame_hw, min_face_size=40, max_faces=config.max_faces,
-                     thresholds=thresholds, dtype=jnp.bfloat16)
+                     thresholds=thresholds, dtype=jnp.bfloat16,
+                     input_range="255")  # camera frames are uint8-scaled
     if det_params is None:
         logger.warning("no MTCNN weights found — using random-init detector")
         det_params = detector.init(jax.random.key(0))

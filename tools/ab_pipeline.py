@@ -74,7 +74,7 @@ def main():
     cfg = ServeConfig(max_faces=8, gallery_capacity=1024, top_k=5, embed_size=160,
                       detection_threshold=0.0)
     detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
-                     k_pnet=64, k_rnet=32, dtype=jnp.bfloat16)
+                     k_pnet=64, k_rnet=32, dtype=jnp.bfloat16, input_range="255")
     det_params = load_detector_params()
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} batch={args.batch} "
