@@ -238,6 +238,7 @@ class MTCNN:
         prefer_whole: bool = True,
         approx_topk: bool = True,
         input_range: str = "auto",
+        rnet_crop_scale: float = 0.6,
     ):
         """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
         pyramid levels (proposal side >= half the frame — full-face
@@ -278,6 +279,17 @@ class MTCNN:
         # over the frame batch that costs ~0.7 ms at serve shapes (batch 48).
         # Serving paths that KNOW their scale pass "255" (or "1") and skip it.
         self.input_range = input_range
+        # R-Net 24px crops resample from a cached ``rnet_crop_scale`` copy of
+        # the frame instead of full resolution: the crop matmuls contract
+        # over the source H/W, so 0.6 cuts their FLOPs 2.8x (~0.6 ms at
+        # batch 48). Lossless in resolution terms: min_face_size boxes map to
+        # >= 24 source px at 0.6 (s * 0.6 >= 24 for s >= 40), so every crop
+        # still downsamples; the extra bilinear stage only changes
+        # antialiasing, which the trainer's blur augmentation already covers
+        # (detect/train.py down-up resize). Set 1.0 to crop from full res.
+        # Clamped so min-size faces never UPSAMPLE (needs s * scale >= 24):
+        # e.g. min_face_size 24 forces full resolution.
+        self.rnet_crop_scale = min(max(rnet_crop_scale, 24.0 / min_face_size), 1.0)
         self.factor = factor
         self.max_faces = max_faces
         self.k_pnet = k_pnet
@@ -407,8 +419,16 @@ class MTCNN:
 
         # ---- stage 2: R-Net ---------------------------------------------------
         mf = self.max_faces
-        crops = jax.vmap(
-            lambda im, bx: crop_resize_matmul(im, bx, 24, out_dtype=self.dtype))(xn, boxes)
+        if self.rnet_crop_scale != 1.0:
+            rs = self.rnet_crop_scale
+            rh, rw = int(round(h * rs)), int(round(w * rs))
+            xh = resize_bilinear(xn, (rh, rw))
+            rscale = jnp.asarray([rw / w, rh / h, rw / w, rh / h], jnp.float32)
+            crops = jax.vmap(lambda im, bx: crop_resize_matmul(
+                im, bx, 24, out_dtype=self.dtype))(xh, boxes * rscale)
+        else:
+            crops = jax.vmap(lambda im, bx: crop_resize_matmul(
+                im, bx, 24, out_dtype=self.dtype))(xn, boxes)
         rp, rreg = self.rnet.apply({"params": params["rnet"]}, crops.reshape(-1, 24, 24, 3))
         rp = rp.reshape(b, self.k_rnet)
         rreg = rreg.reshape(b, self.k_rnet, 4)

@@ -149,3 +149,41 @@ def test_large_quota_feeds_onet():
         params = det.init(jax.random.key(0))
         out = det.detect(params, jnp.zeros((2, 64, 64, 3)))
         assert out.boxes.shape == (2, 4, 4) and out.valid.shape == (2, 4)
+
+
+def test_input_range_modes_agree():
+    """input_range='255' must equal 'auto' on 0..255 frames, and '1' must
+    equal 'auto' on 0..1 frames (the static modes only skip the jnp.max
+    range probe, never change values — detect/mtcnn.py input_range)."""
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    kw = dict(min_face_size=40, thresholds=(0.3, 0.3, 0.3), max_faces=4,
+              k_pnet=8, k_rnet=8)
+    det_auto = MTCNN((64, 64), **kw)
+    params = det_auto.init(jax.random.key(0))
+    ref = det_auto.detect(params, jnp.asarray(frames))
+    for mode, fr in (("255", frames), ("1", frames / 255.0)):
+        det = MTCNN((64, 64), input_range=mode, **kw)
+        out = det.detect(params, jnp.asarray(fr))
+        # '255' is bit-identical; '1' round-trips /255 * 255 in f32, whose
+        # rounding wiggles bf16 net outputs at the 1e-4 level
+        np.testing.assert_allclose(np.asarray(out.probs), np.asarray(ref.probs),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out.boxes), np.asarray(ref.boxes),
+                                   atol=0.5)
+    with pytest.raises(ValueError):
+        MTCNN((64, 64), input_range="0-255", **kw)
+
+
+def test_rnet_crop_scale_clamps_and_traces():
+    """rnet_crop_scale clamps so min-size faces never upsample (min_face 24
+    -> full res), and the scaled path traces with static shapes."""
+    det = MTCNN((64, 64), min_face_size=24, max_faces=2, k_pnet=8, k_rnet=4,
+                rnet_crop_scale=0.6)
+    assert det.rnet_crop_scale == 1.0  # clamped: 24 * 0.6 < 24
+    det = MTCNN((64, 64), min_face_size=48, max_faces=2, k_pnet=8, k_rnet=4,
+                rnet_crop_scale=0.6)
+    assert det.rnet_crop_scale == 0.6
+    params = det.init(jax.random.key(0))
+    out = det.detect(params, jnp.zeros((1, 64, 64, 3)))
+    assert out.boxes.shape == (1, 2, 4)

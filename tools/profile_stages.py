@@ -4,7 +4,7 @@ Times the four stages (detect / align / embed / match) as separate jits with
 the same slope methodology as serve/pipeline.benchmark() — distinct
 device-resident inputs per call, in-jit reductions, one final host
 materialization, slope between a short and a long dispatch chain. Shapes
-mirror bench.py (batch 32, 8 faces, 480x640 frames, 160px crops, 1024-row
+mirror bench.py (batch 48 or BENCH_BATCH, 8 faces, 480x640 frames, 160px crops, 1024-row
 gallery, 512-d embeddings).
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_stages.py
@@ -57,15 +57,18 @@ def main():
     from facerec_tpu.detect.weights import load_detector_params
     from facerec_tpu.models import get_model
     from facerec_tpu.ops.gallery import gallery_topk_pallas, gallery_topk_xla
-    from facerec_tpu.ops.warp_fast import align_and_crop_fast
+    from facerec_tpu.ops.warp_fast import align_and_crop_fast_batched
 
-    B, F, HW, E, G, D = 32, 8, (480, 640), 160, 1024, 512
+    import os
+
+    B = int(os.environ.get("BENCH_BATCH", 48))  # mirror bench.py
+    F, HW, E, G, D = 8, (480, 640), 160, 1024, 512
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
     print(f"backend={jax.default_backend()} B={B} F={F}")
 
     det = MTCNN(HW, min_face_size=40, max_faces=F, k_pnet=64, k_rnet=32,
-                dtype=jnp.bfloat16)
+                dtype=jnp.bfloat16, input_range="255")
     det_params = jax.device_put(load_detector_params())
 
     frames = [jnp.asarray(rng.uniform(0, 255, (B, *HW, 3)).astype(np.float32))
@@ -85,12 +88,15 @@ def main():
                          [x1+s*.35, y1+s*.8], [x1+s*.65, y1+s*.8]]
     boxes_j, lmk_j = jnp.asarray(boxes), jnp.asarray(lmk)
 
+    # the PIPELINE's align path: batched crop matmuls + the Pallas VMEM
+    # rotation on TPU, bf16 crops out (serve/pipeline.py _build_step)
     dt = slope_time(
-        lambda fr: jax.vmap(lambda im, bx, lm: align_and_crop_fast(im, bx, lm, E))(
-            fr, boxes_j, lmk_j), frames)
+        lambda fr: align_and_crop_fast_batched(fr, boxes_j, lmk_j, E,
+                                               use_pallas=on_tpu,
+                                               out_dtype=jnp.bfloat16), frames)
     print(f"align:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
 
-    embedder = get_model("arcface", num_classes=8)
+    embedder = get_model("arcface", num_classes=8, compute_dtype="bfloat16")
     ex = jnp.zeros((1, E, E, 3), jnp.float32)
     ev = embedder.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
                        ex, labels=jnp.zeros(1, jnp.int32), train=True)
