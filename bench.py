@@ -91,16 +91,13 @@ def main() -> None:
     # kernels (models/fold.py): serve-time BN becomes one bias-add and XLA
     # stops re-deriving rsqrt(var+eps) per call (weights are jit args, so it
     # can't constant-fold them itself)
-    from facerec_tpu.models.fold import fold_batchnorm
+    from facerec_tpu.models.fold import folded_arcface
 
     init_model = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
     ex = jnp.zeros((1, cfg.embed_size, cfg.embed_size, 3), jnp.float32)
     evars = init_model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
                             ex, labels=jnp.zeros(1, jnp.int32), train=True)
-    evars = fold_batchnorm({"params": evars["params"],
-                            "batch_stats": evars.get("batch_stats", {})})
-    embedder = get_model("arcface", num_classes=18, compute_dtype="bfloat16",
-                         arcface_kwargs={"folded": True})
+    embedder, evars = folded_arcface(18, evars)
 
     def embed_fn(variables, x):
         return embedder.apply(variables, x, method="embed")

@@ -239,6 +239,8 @@ class MTCNN:
         approx_topk: bool = True,
         input_range: str = "auto",
         rnet_crop_scale: float = 0.6,
+        rnet_keep: int | None = None,
+        rnet_nms_iou: float = 0.7,
     ):
         """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
         pyramid levels (proposal side >= half the frame — full-face
@@ -259,6 +261,17 @@ class MTCNN:
         O-Net's batch ``max_faces + k_large`` (static); the final NMS still
         returns ``max_faces``. Set 0 to disable.
 
+        ``rnet_keep``: fine slots the stage-2 NMS passes to O-Net (default
+        ``max_faces``). With crowded frames (gt count == max_faces), R-Net
+        duplicate survivors of one face rank-starve another face out of a
+        max_faces budget (measured: 15/16 bench-frame losses were exactly
+        this); rnet_keep > max_faces lets O-Net + the final NMS arbitrate.
+        O-Net's batch grows to ``rnet_keep + k_large``.
+
+        ``rnet_nms_iou``: IoU threshold of the stage-2 fine NMS (default
+        0.7, the classic MTCNN value). Lower merges R-Net duplicate boxes
+        of one face more aggressively, freeing slots.
+
         ``prefer_whole``: at the final min-mode NMS, a detection nested
         inside a larger valid detection (containment >= 0.8, area ratio
         >= 1.5) is demoted below it, so the covering face box wins over a
@@ -271,6 +284,8 @@ class MTCNN:
         self.thresholds = thresholds
         self.coarse_pnet_threshold = coarse_pnet_threshold
         self.k_large = k_large
+        self.rnet_keep = max_faces if rnet_keep is None else rnet_keep
+        self.rnet_nms_iou = rnet_nms_iou
         self.prefer_whole = prefer_whole
         self.approx_topk = approx_topk
         if input_range not in ("auto", "255", "1"):
@@ -314,21 +329,34 @@ class MTCNN:
     def __call__(self, params: dict, images: jnp.ndarray) -> Detections:
         return self.detect(params, images)
 
-    @partial(jax.jit, static_argnums=0)
-    def detect(self, params: dict, images: jnp.ndarray) -> Detections:
-        """images: [B, H, W, 3] float (0..255 or 0..1 — autodetected by max)."""
-        b, h, w, _ = images.shape
-        assert (h, w) == self.image_hw, f"built for {self.image_hw}, got {(h, w)}"
+    def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[B,H,W,3] float frames -> the cascade's normalized compute-dtype
+        tensor. Pyramid + crops run in bf16 in serving: the pyramid re-reads
+        every frame once per level, so this halves the detect stage's dominant
+        HBM traffic; 8-bit image data loses nothing."""
         x = images.astype(jnp.float32)
         if self.input_range == "auto":
             x = jnp.where(jnp.max(x) <= 2.0, x * 255.0, x)
         elif self.input_range == "1":
             x = x * 255.0
-        # pyramid + crops in the cascade's compute dtype (bf16 in serving):
-        # the pyramid re-reads every frame once per level, so this halves the
-        # detect stage's dominant HBM traffic; 8-bit image data loses nothing
-        xn = ((x - 127.5) / 128.0).astype(self.dtype)
+        return ((x - 127.5) / 128.0).astype(self.dtype)
 
+    @partial(jax.jit, static_argnums=0)
+    def detect(self, params: dict, images: jnp.ndarray) -> Detections:
+        """images: [B, H, W, 3] float (0..255 or 0..1 — autodetected by max)."""
+        b, h, w, _ = images.shape
+        assert (h, w) == self.image_hw, f"built for {self.image_hw}, got {(h, w)}"
+        xn = self.normalize(images)
+        boxes, scores, valid = self.stage1(params, xn)
+        return self._stages23(params, xn, boxes, scores, valid)
+
+    def stage1(self, params: dict, xn: jnp.ndarray):
+        """P-Net over the pyramid + per-scale and stratified cross-scale NMS.
+        Returns squared candidate (boxes [B,k_rnet,4], scores, valid) — the
+        exact stage detect() runs (tools/profile_detect.py probes this method,
+        so the profile cannot drift from the served program)."""
+        b = xn.shape[0]
+        h, w = self.image_hw
         # ---- stage 1: P-Net over the pyramid --------------------------------
         all_boxes, all_scores, all_valid = [], [], []
         coarse_side = 0.5 * min(h, w)  # same cut as the stratified NMS below
@@ -394,7 +422,10 @@ class MTCNN:
         # cells evict another's only candidate. R-Net/O-Net arbitrate.
         n_coarse = sum(1 for s in self.scales if 12.0 / s >= 0.5 * min(h, w))
         if 0 < n_coarse < len(self.scales):
-            q = max(1, (self.k_rnet // 8) // n_coarse)
+            # quota cannot exceed k_keep — each level's NMS emits only k_keep
+            # slots, and a larger q would silently slice fewer than k_c
+            # candidates below, breaking the static k_rnet concat
+            q = max(1, min(k_keep, (self.k_rnet // 8) // n_coarse))
             while q > 1 and q * n_coarse > self.k_rnet - 1:
                 q -= 1
             k_c = min(q * n_coarse, self.k_rnet - 1)
@@ -415,29 +446,38 @@ class MTCNN:
                 lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet)
             )(bx.reshape(b, -1, 4), sc.reshape(b, -1), vl.reshape(b, -1))
             boxes, scores, valid = _pad_slots(boxes, scores, valid, self.k_rnet)
-        boxes = _square(boxes)
+        return _square(boxes), scores, valid
 
-        # ---- stage 2: R-Net ---------------------------------------------------
-        mf = self.max_faces
+    def rnet_crops(self, xn: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        """24px R-Net crops, resampled from a cached ``rnet_crop_scale`` copy
+        of the frame when enabled (the served path — see __init__)."""
+        h, w = self.image_hw
         if self.rnet_crop_scale != 1.0:
             rs = self.rnet_crop_scale
             rh, rw = int(round(h * rs)), int(round(w * rs))
             xh = resize_bilinear(xn, (rh, rw))
             rscale = jnp.asarray([rw / w, rh / h, rw / w, rh / h], jnp.float32)
-            crops = jax.vmap(lambda im, bx: crop_resize_matmul(
+            return jax.vmap(lambda im, bx: crop_resize_matmul(
                 im, bx, 24, out_dtype=self.dtype))(xh, boxes * rscale)
-        else:
-            crops = jax.vmap(lambda im, bx: crop_resize_matmul(
-                im, bx, 24, out_dtype=self.dtype))(xn, boxes)
+        return jax.vmap(lambda im, bx: crop_resize_matmul(
+            im, bx, 24, out_dtype=self.dtype))(xn, boxes)
+
+    def _stages23(self, params: dict, xn: jnp.ndarray, boxes, scores, valid) -> Detections:
+        b = xn.shape[0]
+        h, w = self.image_hw
+        # ---- stage 2: R-Net ---------------------------------------------------
+        mf = self.max_faces
+        crops = self.rnet_crops(xn, boxes)
         rp, rreg = self.rnet.apply({"params": params["rnet"]}, crops.reshape(-1, 24, 24, 3))
         rp = rp.reshape(b, self.k_rnet)
         rreg = rreg.reshape(b, self.k_rnet, 4)
         rvalid = valid & (rp > self.thresholds[1])
         rboxes = _apply_regression(boxes, rreg)
+        rk = self.rnet_keep
         fb, fs, fv, _ = jax.vmap(
-            lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", mf)
+            lambda bb, ss, vv: nms(bb, ss, vv, self.rnet_nms_iou, "union", rk)
         )(rboxes, rp, rvalid)
-        fb, fs, fv = _pad_slots(fb, fs, fv, mf)
+        fb, fs, fv = _pad_slots(fb, fs, fv, rk)
         if self.k_large > 0:
             # reserved slots for large survivors (full-face hypotheses on
             # close-up portraits): R-Net ranks part crops above the whole
@@ -458,7 +498,7 @@ class MTCNN:
         boxes = _square(boxes)
 
         # ---- stage 3: O-Net ---------------------------------------------------
-        ns = mf + max(self.k_large, 0)  # O-Net slots (fine + large quota)
+        ns = rk + max(self.k_large, 0)  # O-Net slots (fine + large quota)
         crops = jax.vmap(
             lambda im, bx: crop_resize_matmul(im, bx, 48, out_dtype=self.dtype))(xn, boxes)
         op, oreg, olmk = self.onet.apply({"params": params["onet"]}, crops.reshape(-1, 48, 48, 3))

@@ -14,6 +14,7 @@ resize-only preprocessing).
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 from pathlib import Path
 
 import numpy as np
@@ -38,11 +39,13 @@ def _unflatten(flat: dict) -> dict:
     return tree
 
 
-def flatten_tree(tree: dict, prefix: str = "") -> dict:
+def flatten_tree(tree: Mapping, prefix: str = "") -> dict:
+    """'/'-joined flat {path: np.ndarray} view of a nested param tree (the
+    shared helper — models/convert.py reverse conversion uses it too)."""
     out = {}
     for k, v in tree.items():
         key = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
+        if isinstance(v, Mapping):
             out.update(flatten_tree(v, key))
         else:
             out[key] = np.asarray(v)

@@ -243,15 +243,8 @@ def convert_checkpoint(path: str | Path, model_type: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _flatten_tree(tree: Mapping[str, Any], prefix: str = "") -> dict[str, np.ndarray]:
-    out: dict[str, np.ndarray] = {}
-    for k, v in tree.items():
-        path = f"{prefix}{k}"
-        if isinstance(v, Mapping):
-            out.update(_flatten_tree(v, f"{path}/"))
-        else:
-            out[path] = np.asarray(v)
-    return out
+# shared '/'-joined tree flattener (one implementation, detect/weights.py)
+from facerec_tpu.detect.weights import flatten_tree as _flatten_tree  # noqa: E402
 
 
 def _hwc_to_chw_rows(w: np.ndarray, c: int, h: int, w_: int) -> np.ndarray:

@@ -82,6 +82,16 @@ def _is_bn(params_level: Mapping, stats_level: Mapping, key: str) -> bool:
 def _fold_level(params: Mapping, stats: Mapping, eps: float, path: str) -> dict:
     out: dict[str, Any] = {}
     bn_keys = [k for k in params if _is_bn(params, stats, k)]
+    for k in params:
+        # A BN-named module with scale/bias params but no mean/var stats means
+        # the caller passed a stats-less tree (e.g. a checkpoint missing
+        # batch_stats). Folding would silently leave beta as a raw bias and
+        # the kernels unscaled — every embedding wrong with no error. Raise.
+        if (k in _BN_PRODUCERS and k not in bn_keys
+                and isinstance(params[k], Mapping) and "scale" in params[k]):
+            raise ValueError(
+                f"BatchNorm {path}/{k} has params but no batch_stats (mean/var)"
+                " — cannot fold; pass the checkpoint's batch_stats")
     folded_into: dict[str, np.ndarray] = {}  # producer key -> scale s
     for k in bn_keys:
         producers = [c for c in _BN_PRODUCERS.get(k, ()) if c in params]
@@ -118,7 +128,25 @@ def _fold_level(params: Mapping, stats: Mapping, eps: float, path: str) -> dict:
 def fold_batchnorm(variables: dict, eps: float = 1e-5) -> dict:
     """{"params", "batch_stats"} -> folded {"params"} for a ``folded=True``
     model. Every BatchNorm in the tree must be foldable (bias-free producer at
-    the same level); raises otherwise."""
+    the same level) and must have its running stats present; raises otherwise."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     return {"params": _fold_level(params, stats, eps, "")}
+
+
+def folded_arcface(num_classes: int, variables: dict, compute_dtype: str = "bfloat16"):
+    """The serve-side fold-and-rebuild recipe in one place: fold the train-form
+    ``variables`` ({"params", "batch_stats"}) and build the matching
+    ``folded=True`` ArcFace model. Raises if any BN's running stats are
+    missing (a stats-less checkpoint would otherwise serve wrong embeddings).
+
+    Returns ``(model, folded_variables)``; embed with
+    ``model.apply(folded_variables, x, method="embed")``.
+    """
+    from facerec_tpu.models import get_model  # local: models/__init__ imports lazily
+
+    folded = fold_batchnorm({"params": variables["params"],
+                             "batch_stats": variables.get("batch_stats", {})})
+    model = get_model("arcface", num_classes=num_classes, compute_dtype=compute_dtype,
+                      arcface_kwargs={"folded": True})
+    return model, folded

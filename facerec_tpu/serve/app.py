@@ -98,11 +98,9 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
             logger.warning("no embedder checkpoint — using random-init ArcFace embedder")
         # serve-time BN fold (models/fold.py): bake running stats into the
         # kernels; eval output identical, per-call epilogue shrinks to one add
-        from facerec_tpu.models.fold import fold_batchnorm
+        from facerec_tpu.models.fold import folded_arcface
 
-        variables = fold_batchnorm(variables)
-        net = get_model("arcface", num_classes=n_cls, compute_dtype="bfloat16",
-                        arcface_kwargs={"folded": True})
+        net, variables = folded_arcface(n_cls, variables)
 
         def embed_fn(v, x):
             return net.apply(v, x, method="embed")

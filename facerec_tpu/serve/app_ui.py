@@ -88,8 +88,16 @@ def main() -> None:
             if c1.button("Add reference", key="unknown_add") and name:
                 if cap.name(name):
                     st.success(f"added {name}")
+                    # drop the stale text so the NEXT captured stranger gets an
+                    # empty field — otherwise one click enrolls them under the
+                    # previous person's name (pop-then-rerun is the streamlit
+                    # pattern; assigning to an instantiated widget key raises)
+                    st.session_state.pop("unknown_name", None)
+                    st.rerun()
             if c2.button("Dismiss", key="unknown_dismiss"):
                 cap.dismiss()
+                st.session_state.pop("unknown_name", None)
+                st.rerun()
 
     placeholder = st.empty()
     pending_note = st.empty()

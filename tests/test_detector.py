@@ -64,7 +64,9 @@ def test_detector_trains_and_detects():
 
 def test_degenerate_nms_quotas_trace():
     """Partitions smaller than their NMS quota must pad, not fail at trace
-    time (ADVICE r2: k_pnet < k_rnet with few pyramid levels)."""
+    time (ADVICE r2: k_pnet < k_rnet with few pyramid levels). The coarse
+    stratified quota must clamp to the per-level slot count k_keep
+    (k_pnet=1, k_rnet=64 once crashed the static k_rnet concat)."""
     for kwargs in ({"k_pnet": 4, "k_rnet": 32, "max_faces": 8},
                    {"k_pnet": 4, "k_rnet": 8, "max_faces": 16}):
         det = MTCNN((64, 64), min_face_size=40, thresholds=(0.3, 0.3, 0.3), **kwargs)
@@ -72,6 +74,14 @@ def test_degenerate_nms_quotas_trace():
         out = det.detect(params, jnp.zeros((2, 64, 64, 3)))
         assert out.boxes.shape == (2, kwargs["max_faces"], 4)
         assert out.valid.shape == (2, kwargs["max_faces"])
+    # coarse stratified-quota branch (0 < n_coarse < n_scales) with a quota
+    # larger than the per-level slot count k_keep=min(k_pnet,k_rnet)=1: the
+    # quota must clamp to k_keep or the static k_rnet concat breaks at trace
+    # time. eval_shape is enough — the failure was a trace-time reshape.
+    det = MTCNN((480, 640), min_face_size=40, k_pnet=1, k_rnet=64)
+    params = det.init(jax.random.key(0))
+    out = jax.eval_shape(det.detect, params, jnp.zeros((1, 480, 640, 3)))
+    assert out.boxes.shape == (1, det.max_faces, 4)
 
 
 def test_weight_provenance_marker(tmp_path):

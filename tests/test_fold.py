@@ -83,6 +83,41 @@ def test_fold_rejects_orphan_bn():
         })
 
 
+def test_fold_rejects_missing_stats():
+    """A stats-less tree (e.g. a checkpoint without batch_stats) must raise,
+    not silently skip the fold and serve wrong embeddings."""
+    model = get_model("arcface", num_classes=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, labels=jnp.zeros(1, jnp.int32), train=True)
+    with pytest.raises(ValueError, match="no batch_stats"):
+        fold_batchnorm({"params": variables["params"]})
+    with pytest.raises(ValueError, match="no batch_stats"):
+        fold_batchnorm({"params": variables["params"], "batch_stats": {}})
+
+
+def test_folded_arcface_helper_matches_eval():
+    """folded_arcface (the shared serve recipe) == the manual fold path."""
+    from facerec_tpu.models.fold import folded_arcface
+
+    rng = np.random.default_rng(2)
+    model = get_model("arcface", num_classes=5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(5), "dropout": jax.random.key(6)},
+        x, labels=jnp.zeros(2, jnp.int32), train=True)
+    variables = _randomize_bn(
+        {"params": jax.tree.map(np.asarray, variables["params"]),
+         "batch_stats": jax.tree.map(np.asarray, variables["batch_stats"])}, rng)
+    ref = model.apply({"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]}, x, method="embed")
+    folded_model, folded_vars = folded_arcface(5, variables, compute_dtype="float32")
+    out = folded_model.apply(folded_vars, x, method="embed")
+    cos = np.sum(np.asarray(out) * np.asarray(ref), axis=-1)
+    assert float(np.min(cos)) > 1 - 1e-6
+
+
 def test_facenet_fold_matches_eval():
     """InceptionResnetV1 (facenet-pytorch BN eps=1e-3) folded-vs-eval parity
     on a reduced-repeat network."""

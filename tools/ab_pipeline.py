@@ -27,7 +27,7 @@ def build_pipeline(variant: str, cfg, frame_hw, detector, det_params):
     import jax.numpy as jnp
 
     from facerec_tpu.models import get_model
-    from facerec_tpu.models.fold import fold_batchnorm
+    from facerec_tpu.models.fold import folded_arcface
 
     num_classes = 18
     init_model = get_model("arcface", num_classes=num_classes, compute_dtype="bfloat16")
@@ -38,9 +38,7 @@ def build_pipeline(variant: str, cfg, frame_hw, detector, det_params):
     evars = {"params": evars["params"], "batch_stats": evars.get("batch_stats", {})}
 
     if variant == "folded":
-        evars = fold_batchnorm(evars)
-        embedder = get_model("arcface", num_classes=num_classes,
-                             compute_dtype="bfloat16", arcface_kwargs={"folded": True})
+        embedder, evars = folded_arcface(num_classes, evars)
     elif variant == "unfolded":
         embedder = init_model
     else:

@@ -25,11 +25,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from facerec_tpu.detect.mtcnn import MTCNN, _square, _pad_slots
+    from facerec_tpu.detect.mtcnn import MTCNN
     from facerec_tpu.detect.weights import load_detector_params
     from facerec_tpu.ops.image import resize_bilinear
-    from facerec_tpu.ops.nms import nms
-    from facerec_tpu.ops.warp_fast import crop_resize_matmul
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     HW = (480, 640)
@@ -42,15 +40,14 @@ def main():
     h, w = HW
     print(f"backend={jax.default_backend()} B={B} levels={len(det.scales)} "
           f"k_pnet={det.k_pnet} k_rnet={det.k_rnet} onet_slots="
-          f"{det.max_faces + det.k_large}")
+          f"{det.max_faces + det.k_large} rnet_crop_scale={det.rnet_crop_scale}")
 
-    def norm(images):
-        x = images.astype(jnp.float32)
-        x = jnp.where(jnp.max(x) <= 2.0, x * 255.0, x)
-        return ((x - 127.5) / 128.0).astype(det.dtype)
-
+    # Prefix probes call the SAME methods detect() composes (normalize /
+    # stage1 / rnet_crops / rnet.apply), so the deltas cannot drift from the
+    # served program (an earlier hand-copied stage1 omitted the stratified
+    # coarse quota and cropped full-res f32 — misattributing ~2x crop cost).
     def pyramid(images):
-        xn = norm(images)
+        xn = det.normalize(images)
         levels = []
         for scale in det.scales:
             sh = max(int(math.ceil(h * scale)), 12)
@@ -63,41 +60,11 @@ def main():
                 for lv in pyramid(images)]
 
     def stage1(images):
-        """P-Net top-k + per-scale and cross-scale NMS (mirrors detect())."""
-        b = images.shape[0]
-        all_b, all_s, all_v = [], [], []
-        for scale, (prob, reg) in zip(det.scales, pnet_maps(images)):
-            bh, bw = prob.shape[1], prob.shape[2]
-            k = min(det.k_pnet, bh * bw)
-            flat = prob.reshape(b, -1)
-            tp, ti = jax.lax.top_k(flat, k)
-            iy = (ti // bw).astype(jnp.float32)
-            ix = (ti % bw).astype(jnp.float32)
-            boxes = jnp.stack([ix * 2 / scale, iy * 2 / scale,
-                               (ix * 2 + 12) / scale, (iy * 2 + 12) / scale], -1)
-            if boxes.shape[1] < det.k_pnet:
-                pad = det.k_pnet - boxes.shape[1]
-                boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
-                tp = jnp.pad(tp, ((0, 0), (0, pad)))
-            all_b.append(boxes)
-            all_s.append(tp)
-            all_v.append(tp > 0.5)
-        sb = jnp.stack(all_b, 1)
-        ss = jnp.stack(all_s, 1)
-        sv = jnp.stack(all_v, 1)
-        k_keep = min(det.k_pnet, det.k_rnet)
-        bx, sc, vl, _ = jax.vmap(jax.vmap(
-            lambda bb, s_, vv: nms(bb, s_, vv, 0.5, "union", k_keep)))(sb, ss, sv)
-        boxes, scores, valid, _ = jax.vmap(
-            lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", det.k_rnet)
-        )(bx.reshape(b, -1, 4), sc.reshape(b, -1), vl.reshape(b, -1))
-        boxes, scores, valid = _pad_slots(boxes, scores, valid, det.k_rnet)
-        return _square(boxes), scores, valid
+        return det.stage1(params, det.normalize(images))
 
     def rnet_crops(images):
         boxes, _, _ = stage1(images)
-        return jax.vmap(lambda im, bx: crop_resize_matmul(im, bx, 24))(
-            norm(images), boxes)
+        return det.rnet_crops(det.normalize(images), boxes)
 
     def rnet_out(images):
         crops = rnet_crops(images)

@@ -64,7 +64,7 @@ def main():
     import jax.numpy as jnp
 
     from facerec_tpu.models import get_model
-    from facerec_tpu.models.fold import fold_batchnorm
+    from facerec_tpu.models.fold import folded_arcface
     from facerec_tpu.models.resnet import ResNet18
 
     E = 160
@@ -77,10 +77,9 @@ def main():
     ev = init_model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
                          ex, labels=jnp.zeros(1, jnp.int32), train=True)
     ev = {"params": ev["params"], "batch_stats": ev.get("batch_stats", {})}
-    folded_vars = jax.device_put(fold_batchnorm(ev))
+    folded, folded_vars = folded_arcface(8, ev)
+    folded_vars = jax.device_put(folded_vars)
     ev = jax.device_put(ev)
-    folded = get_model("arcface", num_classes=8, compute_dtype="bfloat16",
-                       arcface_kwargs={"folded": True})
     backbone = ResNet18(dtype=jnp.bfloat16, folded=True)
     bvars = {"params": folded_vars["params"]["backbone"]}
 
