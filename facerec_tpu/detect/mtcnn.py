@@ -241,6 +241,7 @@ class MTCNN:
         rnet_crop_scale: float = 0.6,
         rnet_keep: int | None = None,
         rnet_nms_iou: float = 0.7,
+        lowlight_norm: bool = True,
     ):
         """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
         pyramid levels (proposal side >= half the frame — full-face
@@ -278,7 +279,21 @@ class MTCNN:
         facial-part box regardless of O-Net score order. Faces do not nest;
         the reference's pretrained O-Net achieves this via score order alone
         (reference app.py:274-286), which synthetic-trained nets do not
-        reproduce on real photos (part 0.92 vs whole 0.70 measured)."""
+        reproduce on real photos (part 0.92 vs whole 0.70 measured).
+
+        ``lowlight_norm``: remap severely underexposed frames (per-frame
+        pixel std < 24 on a 4x-subsampled grid) to a canonical exposure
+        (std 48, mean 110) before the cascade. The reference's pretrained
+        MTCNN absorbs bad exposure through its real-world training data
+        (app.py:274-286 feeds raw webcam frames); our synthetic-trained
+        nets see only well-exposed scenes, so exposure is normalized at
+        serve time instead. Gated: every normal frame measured (bench
+        frames std 39-49, reference gallery std 42-55) passes through
+        BIT-IDENTICAL; the one underexposed reference photo
+        (random3_00000003.jpg, std 11.5) moves from a 0.895 part-box
+        detection to 0.99 and gains coarse full-face P-Net candidates
+        (side 82-117 px) that never score at all on the raw frame.
+        Detection only — embed crops still sample the original frames."""
         self.image_hw = image_hw
         self.min_face_size = min_face_size
         self.thresholds = thresholds
@@ -294,6 +309,7 @@ class MTCNN:
         # over the frame batch that costs ~0.7 ms at serve shapes (batch 48).
         # Serving paths that KNOW their scale pass "255" (or "1") and skip it.
         self.input_range = input_range
+        self.lowlight_norm = lowlight_norm
         # R-Net 24px crops resample from a cached ``rnet_crop_scale`` copy of
         # the frame instead of full resolution: the crop matmuls contract
         # over the source H/W, so 0.6 cuts their FLOPs 2.8x (~0.6 ms at
@@ -339,6 +355,20 @@ class MTCNN:
             x = jnp.where(jnp.max(x) <= 2.0, x * 255.0, x)
         elif self.input_range == "1":
             x = x * 255.0
+        if self.lowlight_norm:
+            # Stats on a 4x-subsampled grid: 1/16 the HBM reads, and the
+            # gate threshold (std < 24) sits far from both sides (dark
+            # photo 11.5 vs dimmest normal frame 38.7), so subsampling
+            # noise cannot flip it. Remap is per-frame affine to std 48 /
+            # mean 110, clipped to the pixel range; well-exposed frames
+            # take the identity branch bit-exactly.
+            sub = x[:, ::4, ::4, :]
+            m = jnp.mean(sub, axis=(1, 2, 3), keepdims=True)
+            s = jnp.std(sub, axis=(1, 2, 3), keepdims=True)
+            dark = s < 24.0
+            gain = 48.0 / jnp.maximum(s, 4.0)
+            remapped = jnp.clip((x - m) * gain + 110.0, 0.0, 255.0)
+            x = jnp.where(dark, remapped, x)
         return ((x - 127.5) / 128.0).astype(self.dtype)
 
     @partial(jax.jit, static_argnums=0)

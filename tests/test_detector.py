@@ -197,3 +197,43 @@ def test_rnet_crop_scale_clamps_and_traces():
     params = det.init(jax.random.key(0))
     out = det.detect(params, jnp.zeros((1, 64, 64, 3)))
     assert out.boxes.shape == (1, 2, 4)
+
+
+def test_lowlight_norm_identity_on_normal_frames():
+    """The low-light gate (std < 24 on the subsampled grid) must leave
+    well-exposed frames BIT-IDENTICAL — every normal frame measured (bench
+    std 39-49, reference gallery std 42-55) is far above the threshold
+    (detect/mtcnn.py lowlight_norm docstring)."""
+    rng = np.random.default_rng(7)
+    frames = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    det_on = MTCNN((64, 64), min_face_size=40, max_faces=2, k_pnet=8, k_rnet=4)
+    det_off = MTCNN((64, 64), min_face_size=40, max_faces=2, k_pnet=8, k_rnet=4,
+                    lowlight_norm=False)
+    a = np.asarray(det_on.normalize(jnp.asarray(frames)))
+    b = np.asarray(det_off.normalize(jnp.asarray(frames)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_lowlight_norm_remaps_dark_frames():
+    """A severely underexposed frame (the reference gallery's 33x42
+    near-black JPEG has mean 37 / std 11.5) is remapped to the canonical
+    exposure (std 48, mean 110) the synthetic-trained nets were trained at;
+    a mixed batch gates per frame."""
+    rng = np.random.default_rng(8)
+    bright = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    dark = (bright * 0.12 + 10.0).astype(np.float32)  # std ~8.8, mean ~25
+    det = MTCNN((64, 64), min_face_size=40, max_faces=2, k_pnet=8, k_rnet=4)
+    out = np.asarray(det.normalize(jnp.stack([jnp.asarray(bright),
+                                              jnp.asarray(dark)])),
+                     np.float32)
+    px = out * 128.0 + 127.5  # back to pixel units
+    # bright frame untouched
+    np.testing.assert_allclose(px[0], bright, atol=0.5)
+    # dark frame sits at the canonical exposure
+    assert abs(px[1].mean() - 110.0) < 6.0, px[1].mean()
+    assert abs(px[1].std() - 48.0) < 8.0, px[1].std()
+    # and the remap is monotone in the source pixel (an affine stretch,
+    # not an inversion): brighter source pixels stay brighter
+    flat_src, flat_out = dark.ravel(), px[1].ravel()
+    order = np.argsort(flat_src)
+    assert (np.diff(flat_out[order]) >= -1e-3).all()
