@@ -87,17 +87,14 @@ def main() -> None:
     except FileNotFoundError:
         det_params = detector.init(jax.random.key(0))
 
-    # init the train-form model, then fold its BatchNorms into the conv/dense
-    # kernels (models/fold.py): serve-time BN becomes one bias-add and XLA
-    # stops re-deriving rsqrt(var+eps) per call (weights are jit args, so it
-    # can't constant-fold them itself)
-    from facerec_tpu.models.fold import folded_arcface
-
-    init_model = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
+    # plain eval (unfolded) embedder: serve-time BN folding measured a WASH
+    # e2e and -8% standalone (docs/EMBEDDER.md "BN folding is NOT a win") —
+    # XLA already fuses the eval-BN affine into the conv epilogue.
+    embedder = get_model("arcface", num_classes=18, compute_dtype="bfloat16")
     ex = jnp.zeros((1, cfg.embed_size, cfg.embed_size, 3), jnp.float32)
-    evars = init_model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
-                            ex, labels=jnp.zeros(1, jnp.int32), train=True)
-    embedder, evars = folded_arcface(18, evars)
+    evars = embedder.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                          ex, labels=jnp.zeros(1, jnp.int32), train=True)
+    evars = {"params": evars["params"], "batch_stats": evars.get("batch_stats", {})}
 
     def embed_fn(variables, x):
         return embedder.apply(variables, x, method="embed")

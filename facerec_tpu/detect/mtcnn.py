@@ -282,7 +282,7 @@ class MTCNN:
         reproduce on real photos (part 0.92 vs whole 0.70 measured).
 
         ``lowlight_norm``: remap severely underexposed frames (per-frame
-        pixel std < 24 on a 4x-subsampled grid) to a canonical exposure
+        pixel std < 24) to a canonical exposure
         (std 48, mean 110) before the cascade. The reference's pretrained
         MTCNN absorbs bad exposure through its real-world training data
         (app.py:274-286 feeds raw webcam frames); our synthetic-trained
@@ -356,29 +356,58 @@ class MTCNN:
         elif self.input_range == "1":
             x = x * 255.0
         if self.lowlight_norm:
-            # Stats on a 4x-subsampled grid: 1/16 the HBM reads, and the
+            # Stats on a 4x-subsampled grid: 1/16 the elements, and the
             # gate threshold (std < 24) sits far from both sides (dark
             # photo 11.5 vs dimmest normal frame 38.7), so subsampling
-            # noise cannot flip it. Remap is per-frame affine to std 48 /
-            # mean 110, clipped to the pixel range; well-exposed frames
-            # take the identity branch bit-exactly.
-            sub = x[:, ::4, ::4, :]
-            m = jnp.mean(sub, axis=(1, 2, 3), keepdims=True)
-            s = jnp.std(sub, axis=(1, 2, 3), keepdims=True)
+            # noise cannot flip it.
+            #
+            # The remap FOLDS INTO the normalize affine as per-frame
+            # scalars: xn = (x - m_eff) * g_eff, where well-exposed frames
+            # get (127.5, 1/128) — bit-identical to the plain path, since
+            # scaling by the power of two 1/128 is exact — and dark frames
+            # get the exposure stretch (to pixel std 48 / mean 110)
+            # composed with it.
+            #
+            # Two measured 19%-e2e-slower drafts (interleaved
+            # tools/ab_pipeline.py lowlight nolowlight, 20.3k vs 24.2k):
+            # a full-frame where/clip remap chain, AND stats on a strided
+            # x[:, ::4, ::4, :] subsample — the strided slice lowers as
+            # gather-class traffic at ~3-9 ns/element (CLAUDE.md trap), so
+            # "1/16 of the elements" cost ~4 ms, 20x the full contiguous
+            # read it was meant to save. Full-frame mean/E[x^2] in ONE
+            # fused contiguous pass is the cheap form.
+            m = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+            s2 = jnp.mean(x * x, axis=(1, 2, 3), keepdims=True)
+            s = jnp.sqrt(jnp.maximum(s2 - m * m, 0.0))
             dark = s < 24.0
             gain = 48.0 / jnp.maximum(s, 4.0)
-            remapped = jnp.clip((x - m) * gain + 110.0, 0.0, 255.0)
-            x = jnp.where(dark, remapped, x)
+            # dark:  xn = ((x - m) * gain + 110 - 127.5) / 128
+            #           = (x - (m + (127.5 - 110) / gain)) * (gain / 128)
+            m_eff = jnp.where(dark, m + (127.5 - 110.0) / gain, 127.5)
+            g_eff = jnp.where(dark, gain, 1.0) * (1.0 / 128.0)
+            # Pixel-range clip, in normalized units: for 0..255 inputs the
+            # identity branch already lies inside these bounds, so the clip
+            # only bites on the stretched dark frames.
+            lo, hi = (0.0 - 127.5) / 128.0, (255.0 - 127.5) / 128.0
+            return jnp.clip((x - m_eff) * g_eff, lo, hi).astype(self.dtype)
         return ((x - 127.5) / 128.0).astype(self.dtype)
 
     @partial(jax.jit, static_argnums=0)
     def detect(self, params: dict, images: jnp.ndarray) -> Detections:
-        """images: [B, H, W, 3] float (0..255 or 0..1 — autodetected by max)."""
+        """images: [B, H, W, 3] float. Pixel scale per ``input_range``:
+        "auto" (default) autodetects 0..255 vs 0..1 by jnp.max per call;
+        "255"/"1" pin the scale and skip the probe — a pinned detector fed
+        the OTHER scale normalizes frames to garbage and detects nothing,
+        so serving paths expose the choice (serve/app.build_default_pipeline
+        input_range)."""
         b, h, w, _ = images.shape
         assert (h, w) == self.image_hw, f"built for {self.image_hw}, got {(h, w)}"
         xn = self.normalize(images)
-        boxes, scores, valid = self.stage1(params, xn)
-        return self._stages23(params, xn, boxes, scores, valid)
+        boxes, _, valid = self.stage1(params, xn)
+        # stage1's scores are profile-probe output only (tools/profile_detect
+        # slope-times the stage1 prefix); R-Net re-scores every candidate, so
+        # stages 2/3 never read them.
+        return self._stages23(params, xn, boxes, valid)
 
     def stage1(self, params: dict, xn: jnp.ndarray):
         """P-Net over the pyramid + per-scale and stratified cross-scale NMS.
@@ -492,7 +521,7 @@ class MTCNN:
         return jax.vmap(lambda im, bx: crop_resize_matmul(
             im, bx, 24, out_dtype=self.dtype))(xn, boxes)
 
-    def _stages23(self, params: dict, xn: jnp.ndarray, boxes, scores, valid) -> Detections:
+    def _stages23(self, params: dict, xn: jnp.ndarray, boxes, valid) -> Detections:
         b = xn.shape[0]
         h, w = self.image_hw
         # ---- stage 2: R-Net ---------------------------------------------------

@@ -12,6 +12,7 @@ class centers; see ops/arcface.py docstring for the defect we do not copy).
 from __future__ import annotations
 
 import csv
+import itertools
 import json
 import time
 from pathlib import Path
@@ -147,11 +148,18 @@ def _slope_latency_ms(apply_fn, batches, image_key: str, iters: int = 12) -> flo
         return jax.tree_util.tree_reduce(
             lambda a, x: a + x.astype(jax.numpy.float32).sum(), out, 0.0)
 
+    # The salt cursor persists ACROSS chains: restarting it per chain would
+    # re-issue the short chain's exact (batch, salt) pairs at the head of the
+    # long chain, and those repeats are served from the execution cache
+    # (trap #1 again), skewing the slope ~33% optimistic at iters=12.
+    cursor = itertools.count(1)
+
     def chain(n: int) -> float:
         t0 = time.perf_counter()
         out = None
-        for i in range(n):
-            out = stepsum(batches[i % len(batches)], float(i + 1))
+        for _ in range(n):
+            i = next(cursor)
+            out = stepsum(batches[i % len(batches)], float(i))
         float(out)  # host materialization = the one true barrier
         return time.perf_counter() - t0
 

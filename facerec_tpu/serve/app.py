@@ -31,11 +31,19 @@ from facerec_tpu.serve.pipeline import FacePipeline, FaceTracker
 
 def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
                            config: ServeConfig = ServeConfig(),
-                           embedder_checkpoint: str | None = "arcface_synth") -> FacePipeline:
+                           embedder_checkpoint: str | None = "arcface_synth",
+                           input_range: str = "255") -> FacePipeline:
     """Assemble detector + embedder. Embedder resolution order:
     converted InceptionResnetV1 weights (FACEREC_FACENET_WEIGHTS .pt/.npz),
     then a trained ArcFace checkpoint, then random-init ArcFace (demo still
-    runs; matching quality is meaningless until weights exist)."""
+    runs; matching quality is meaningless until weights exist).
+
+    ``input_range``: pixel scale of the frames this pipeline will be fed.
+    The default "255" matches camera/uint8-scaled frames and skips the
+    detector's per-call full-frame range probe (~0.7 ms at serve shapes);
+    callers feeding normalized 0..1 floats MUST pass "1" (or "auto") —
+    a "255"-configured detector normalizes such frames to near-uniform
+    black and detects nothing."""
     import os
 
     import jax
@@ -55,7 +63,7 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
         det_params, thresholds = None, CALIBRATED_THRESHOLDS
     detector = MTCNN(frame_hw, min_face_size=40, max_faces=config.max_faces,
                      thresholds=thresholds, dtype=jnp.bfloat16,
-                     input_range="255")  # camera frames are uint8-scaled
+                     input_range=input_range)
     if det_params is None:
         logger.warning("no MTCNN weights found — using random-init detector")
         det_params = detector.init(jax.random.key(0))
@@ -65,12 +73,8 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
         from facerec_tpu.models.convert import load_torch_state_dict
         from facerec_tpu.models.facenet import InceptionResnetV1, convert_inception_resnet_v1, fixed_standardize
 
-        from facerec_tpu.models.fold import fold_batchnorm
-
-        net = InceptionResnetV1(dtype=jnp.bfloat16, folded=True)
-        variables = fold_batchnorm(
-            convert_inception_resnet_v1(load_torch_state_dict(facenet_path)),
-            eps=1e-3)  # facenet-pytorch BN epsilon
+        net = InceptionResnetV1(dtype=jnp.bfloat16)
+        variables = convert_inception_resnet_v1(load_torch_state_dict(facenet_path))
 
         def embed_fn(v, x):
             return net.apply(v, fixed_standardize(x))
@@ -96,14 +100,10 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
                               ex, labels=np.zeros(1, np.int32), train=True)
             variables = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
             logger.warning("no embedder checkpoint — using random-init ArcFace embedder")
-        # serve-time BN fold (models/fold.py): bake running stats into the
-        # kernels; eval output identical, per-call epilogue shrinks to one add
-        from facerec_tpu.models.fold import folded_arcface
-
-        net, variables = folded_arcface(n_cls, variables)
-
+        # plain eval (unfolded) path: BN folding measured a wash e2e and -8%
+        # standalone (docs/EMBEDDER.md) — fold.py remains for export use.
         def embed_fn(v, x):
-            return net.apply(v, x, method="embed")
+            return init_net.apply(v, x, method="embed")
 
     pipe = FacePipeline(config, frame_hw, detector, det_params, embed_fn, embed_dim=512,
                         embed_variables=variables)

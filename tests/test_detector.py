@@ -200,7 +200,7 @@ def test_rnet_crop_scale_clamps_and_traces():
 
 
 def test_lowlight_norm_identity_on_normal_frames():
-    """The low-light gate (std < 24 on the subsampled grid) must leave
+    """The low-light gate (per-frame std < 24) must leave
     well-exposed frames BIT-IDENTICAL — every normal frame measured (bench
     std 39-49, reference gallery std 42-55) is far above the threshold
     (detect/mtcnn.py lowlight_norm docstring)."""

@@ -349,6 +349,12 @@ def test_build_default_pipeline_checkpoint_classes():
         pytest.skip("no committed arcface_synth checkpoint")
     cfg = ServeConfig(max_faces=2, gallery_capacity=16, top_k=3, embed_size=160)
     pipe = build_default_pipeline((160, 160), cfg)
+    # default pins the camera pixel scale; 0..1-float callers override it
+    # (serve/app.py input_range — a "255"-pinned detector fed 0..1 frames
+    # normalizes them to near-uniform black and detects nothing)
+    assert pipe.detector.input_range == "255"
+    assert build_default_pipeline((160, 160), cfg,
+                                  input_range="auto").detector.input_range == "auto"
     frame = synthetic_frame_source((160, 160))()
     out = pipe.process(frame[None].astype(np.float32))
     assert out.embeddings.shape == (1, 2, 512)

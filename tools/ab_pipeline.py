@@ -6,6 +6,9 @@ Builds N FacePipeline variants in ONE process and alternates
 win. Only same-round deltas are meaningful.
 
 Variants are selected by name on the command line; default: folded unfolded.
+Detector variants: lowlight / nolowlight (unfolded embedder, detector built
+with lowlight_norm on/off) — the gate itself costs one fused full-frame
+stats pass per call even when it never fires.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/ab_pipeline.py \
         [--rounds 3] [--batch 32] [variant ...]
@@ -39,10 +42,16 @@ def build_pipeline(variant: str, cfg, frame_hw, detector, det_params):
 
     if variant == "folded":
         embedder, evars = folded_arcface(num_classes, evars)
-    elif variant == "unfolded":
+    elif variant in ("unfolded", "lowlight", "nolowlight"):
         embedder = init_model
     else:
         raise SystemExit(f"unknown variant {variant!r}")
+    if variant in ("lowlight", "nolowlight"):
+        from facerec_tpu.detect.mtcnn import MTCNN
+        detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
+                         k_pnet=64, k_rnet=32, dtype=jnp.bfloat16,
+                         input_range="255",
+                         lowlight_norm=(variant == "lowlight"))
 
     def embed_fn(variables, x):
         return embedder.apply(variables, x, method="embed")

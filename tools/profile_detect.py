@@ -31,8 +31,12 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     HW = (480, 640)
+    # input_range="255" matches the served construction (bench.py,
+    # profile_stages.py): the default "auto" adds a full-frame jnp.max
+    # range probe (~0.7 ms at serve shapes) the serve path never runs,
+    # which would be misattributed to the pyramid stage.
     det = MTCNN(HW, min_face_size=40, max_faces=8, k_pnet=64, k_rnet=32,
-                dtype=jnp.bfloat16)
+                dtype=jnp.bfloat16, input_range="255")
     params = jax.device_put(load_detector_params())
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.uniform(0, 255, (B, *HW, 3)).astype(np.float32))
