@@ -105,6 +105,20 @@ def _augment_crop(patch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         img = np.asarray(pil.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 1.0))),
                          np.float32) / 255
     img = np.clip(img + rng.normal(0, rng.uniform(0, 0.03), img.shape), 0, 1)
+    # Serve-side exposure-remap appearance (detect/mtcnn.py lowlight_norm):
+    # frames darker than per-frame std 24 are affinely stretched back to
+    # ~std 48 / mean 110 BEFORE the cascade, so at serving the nets never
+    # see raw near-black crops — they see re-exposed ones whose uint8
+    # quantization / JPEG-block noise is amplified by the ~2-6x gain (the
+    # one remaining uncovered gallery photo, random3_00000003.jpg, is a
+    # 33x42 source at frame std 11.5 -> gain 4.2). Quantize first so the
+    # banding is real, and jitter the target stats: the serve remap uses
+    # FRAME statistics while a face crop inside it has its own.
+    q = np.round(img * 255.0).astype(np.float32)
+    if q.std() < 24.0 and rng.uniform() < 0.7:
+        gain = rng.uniform(36.0, 60.0) / max(float(q.std()), 4.0)
+        img = np.clip((q - q.mean()) * gain + rng.uniform(90.0, 130.0),
+                      0.0, 255.0) / 255.0
     return (img * 255).astype(np.uint8)
 
 

@@ -237,3 +237,24 @@ def test_lowlight_norm_remaps_dark_frames():
     flat_src, flat_out = dark.ravel(), px[1].ravel()
     order = np.argsort(flat_src)
     assert (np.diff(flat_out[order]) >= -1e-3).all()
+
+
+def test_augment_crop_reexposes_dark_crops():
+    """Trainer-side appearance match for the serve-time low-light remap
+    (detect/mtcnn.py lowlight_norm): at serving, frames with std < 24 are
+    affinely re-exposed BEFORE the cascade, so the refiners never see raw
+    near-black crops — they see stretched ones with gain-amplified
+    quantization banding. _augment_crop's final stage reproduces that
+    appearance on dark training crops (detect/train.py)."""
+    from facerec_tpu.detect.train import _augment_crop
+
+    rng = np.random.default_rng(3)
+    dark = np.clip(rng.normal(28.0, 6.0, (48, 48, 3)), 0, 255).astype(np.uint8)
+    outs = [_augment_crop(dark, rng) for _ in range(80)]
+    stds = np.array([o.astype(np.float32).std() for o in outs])
+    assert all(o.dtype == np.uint8 for o in outs)
+    # the 70%-gated remap re-exposes a healthy fraction of dark crops
+    # (other augments run first, so not every draw stays below the gate)
+    assert (stds > 30.0).mean() > 0.35, stds.round(1)
+    # and nothing explodes out of pixel range
+    assert max(o.max() for o in outs) <= 255 and min(o.min() for o in outs) >= 0
