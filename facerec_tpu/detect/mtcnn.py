@@ -191,7 +191,17 @@ def demote_nested(boxes: jnp.ndarray, scores: jnp.ndarray,
     than the whole face on real close-up portraits; measured part 0.92 vs
     whole 0.70 on the reference gallery, tests/test_real_photos.py). The
     reference's pretrained O-Net gets the score order right by itself
-    (reference app.py:274-286). Inputs are batched [B, N, 4] / [B, N]."""
+    (reference app.py:274-286). Inputs are batched [B, N, 4] / [B, N].
+
+    Collage guard: an outer box containing TWO OR MORE mutually disjoint
+    (pairwise IoU < 0.3) valid detections is not a face — faces contain at
+    most one face, and one face's part boxes mutually overlap on the face
+    region — so it demotes nothing. Without this, a junk frame-sized box
+    that sneaks past O-Net (~0.65) on a crowded frame demotes every real
+    face (~1.0) nested inside it, then suppresses them all in the min-mode
+    NMS: measured 48/64 -> 52/64 bench slots with the ungated large quota
+    (large_rnet_threshold=0.0). With the guard, such a box demotes nothing
+    and dies in the NMS against the higher-scored faces it overlaps."""
     ix1 = jnp.maximum(boxes[:, :, None, 0], boxes[:, None, :, 0])
     iy1 = jnp.maximum(boxes[:, :, None, 1], boxes[:, None, :, 1])
     ix2 = jnp.minimum(boxes[:, :, None, 2], boxes[:, None, :, 2])
@@ -200,9 +210,18 @@ def demote_nested(boxes: jnp.ndarray, scores: jnp.ndarray,
     area = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
         jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)  # [B, N]
     cont = inter / jnp.maximum(area[:, :, None], 1e-12)  # frac of i inside j
-    is_part = jnp.any(
-        (cont >= 0.8) & (area[:, None, :] >= 1.5 * area[:, :, None])
-        & valid[:, None, :], axis=2)
+    nested = ((cont >= 0.8) & (area[:, None, :] >= 1.5 * area[:, :, None])
+              & valid[:, None, :])  # [B, i, j]: valid j covers i
+    # collage[b, j]: some pair of valid detections nested in j is mutually
+    # disjoint. N is a small static slot count (<= rnet_keep + k_large), so
+    # the [B,N,N,N] mask is a few MB of VPU work, nothing at serve scale.
+    iou = inter / jnp.maximum(area[:, :, None] + area[:, None, :] - inter, 1e-12)
+    nv = nested & valid[:, :, None]  # nested AND the inner box itself valid
+    disj = iou < 0.3  # [B, i, i']
+    collage = jnp.any(
+        nv[:, :, None, :] & nv[:, None, :, :] & disj[:, :, :, None],
+        axis=(1, 2))  # [B, j]
+    is_part = jnp.any(nested & ~collage[:, None, :], axis=2)
     return jnp.where(is_part, scores - 1.0, scores)
 
 
@@ -235,6 +254,7 @@ class MTCNN:
         dtype: Any = jnp.float32,
         coarse_pnet_threshold: float = 0.0,
         k_large: int = 4,
+        large_rnet_threshold: float = 0.0,
         prefer_whole: bool = True,
         approx_topk: bool = True,
         input_range: str = "auto",
@@ -261,6 +281,22 @@ class MTCNN:
         rank-starved out of O-Net's input entirely. The extra slots make
         O-Net's batch ``max_faces + k_large`` (static); the final NMS still
         returns ``max_faces``. Set 0 to disable.
+
+        ``large_rnet_threshold``: R-Net validity gate for the LARGE quota
+        (default 0.0 — same design as ``coarse_pnet_threshold``: reserved-
+        quota candidates ride on top-k rank alone and the NEXT stage
+        arbitrates). The quota exists because synthetic-trained R-Net
+        systematically under-scores whole-face crops on real photographs;
+        gating it at ``thresholds[1]`` partially defeats that purpose — the
+        hardest reference gallery photo (random3_00000003.jpg, a 33x42
+        near-black JPEG upsampled 4.8x at serving) has its full-face
+        hypothesis scored 0.007-0.05 by every trained R-Net while O-Net,
+        whose 48 px input keeps 2x more of the source detail, ranks it
+        correctly. O-Net's ``thresholds[2]`` still gates every final
+        detection, so false-positive behavior on face-free frames is
+        unchanged (measured: tests/test_detector.py). Costs nothing at
+        serve: the ``k_large`` O-Net slots are static either way. Set to
+        ``thresholds[1]`` to restore uniform gating.
 
         ``rnet_keep``: fine slots the stage-2 NMS passes to O-Net (default
         ``max_faces``). With crowded frames (gt count == max_faces), R-Net
@@ -299,6 +335,7 @@ class MTCNN:
         self.thresholds = thresholds
         self.coarse_pnet_threshold = coarse_pnet_threshold
         self.k_large = k_large
+        self.large_rnet_threshold = large_rnet_threshold
         self.rnet_keep = max_faces if rnet_keep is None else rnet_keep
         self.rnet_nms_iou = rnet_nms_iou
         self.prefer_whole = prefer_whole
@@ -545,7 +582,8 @@ class MTCNN:
             # scores it (see __init__ docstring).
             side = jnp.maximum(rboxes[..., 2] - rboxes[..., 0],
                                rboxes[..., 3] - rboxes[..., 1])
-            large = rvalid & (side >= 0.5 * min(h, w))
+            large = (valid & (rp > self.large_rnet_threshold)
+                     & (side >= 0.5 * min(h, w)))
             lb, ls, lv, _ = jax.vmap(
                 lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "union", self.k_large)
             )(rboxes, rp, large)

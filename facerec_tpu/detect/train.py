@@ -64,6 +64,17 @@ def _augment_crop(patch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     the confidence gap on real photographs (P-Net generalized first; R/O-Net
     sat at 0.1-0.5 on real faces until crops were augmented)."""
     img = patch.astype(np.float32) / 255.0
+    # Correlated "tiny dark JPEG source" mode: the degradations below fire
+    # independently at 0.3-0.35 each, so their CO-occurrence — which is what
+    # the hardest real gallery photo actually is (random3_00000003.jpg: a
+    # 33x42 near-black low-quality JPEG upsampled 4.8x at serving, then
+    # gain-4.2 re-exposed by lowlight_norm) — carries ~1% of training mass.
+    # Committed R/O-Net score its full-face crop 0.007/0.02 while a human
+    # reads eyes/nose/mouth from the same 24px crop. In this mode the full
+    # stack fires together, in the real data-generating ORDER: darken ->
+    # downscale -> JPEG at the TINY resolution (blocks get magnified by the
+    # upsample, not stamped at patch scale) -> upscale -> re-expose.
+    degraded = rng.uniform() < 0.25 and patch.shape[0] >= 24
     img = img * rng.uniform(0.85, 1.15, 3).astype(np.float32)
     if rng.uniform() < 0.4:  # strong warm/cool cast (indoor tungsten / blue
         # daylight: the reference JPEGs carry casts far beyond +-15%)
@@ -72,22 +83,29 @@ def _augment_crop(patch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     img = np.clip(img, 0, 1) ** rng.uniform(0.6, 1.6)
     m = img.mean()
     img = np.clip((img - m) * rng.uniform(0.7, 1.3) + m, 0, 1)
-    if rng.uniform() < 0.35:  # low light, down to near-black (the reference
-        # gallery's darkest crop has mean luminance 0.15)
-        img = img * rng.uniform(0.08, 0.7)
-    if rng.uniform() < 0.35 and patch.shape[0] >= 24:
+    if degraded or rng.uniform() < 0.35:  # low light, down to near-black (the
+        # reference gallery's darkest crop has mean luminance 0.15)
+        img = img * (rng.uniform(0.08, 0.35) if degraded
+                     else rng.uniform(0.08, 0.7))
+    if (degraded or rng.uniform() < 0.35) and patch.shape[0] >= 24:
         # low source resolution: the gallery JPEGs are as small as 33x42 and
         # get upsampled to 160x160 at serving — simulate by down-up resample
+        import io
+
         from PIL import Image
 
-        f = rng.uniform(2.0, 6.0)
+        f = rng.uniform(3.5, 6.5) if degraded else rng.uniform(2.0, 6.0)
         s = patch.shape[0]
         small = max(int(s / f), 4)
         pil = Image.fromarray((img * 255).astype(np.uint8))
-        img = np.asarray(
-            pil.resize((small, small), Image.BILINEAR).resize((s, s), Image.BILINEAR),
-            np.float32) / 255
-    if rng.uniform() < 0.3:
+        pil = pil.resize((small, small), Image.BILINEAR)
+        if degraded:  # compress at the tiny resolution, like the source file
+            buf = io.BytesIO()
+            pil.save(buf, "JPEG", quality=int(rng.integers(18, 55)))
+            buf.seek(0)
+            pil = Image.open(buf)
+        img = np.asarray(pil.resize((s, s), Image.BILINEAR), np.float32) / 255
+    if not degraded and rng.uniform() < 0.3:
         # JPEG blocking/ringing (every reference photo is a low-quality JPEG)
         import io
 

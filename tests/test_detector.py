@@ -150,6 +150,42 @@ def test_demote_nested_whole_over_part():
     assert eff2[0, 1] == 0.95
 
 
+def test_demote_nested_collage_guard():
+    """An outer box containing TWO mutually disjoint valid detections is a
+    collage (faces do not contain multiple faces), so it demotes nothing —
+    without the guard, a junk frame-sized box that sneaks past O-Net on a
+    crowded frame demotes every real face nested inside it and then
+    suppresses them all in the min-mode NMS (measured 48/64 -> 52/64 bench
+    slots; detect/mtcnn.demote_nested)."""
+    from facerec_tpu.detect.mtcnn import demote_nested
+    from facerec_tpu.ops.nms import nms
+
+    boxes = jnp.asarray([[
+        [0.0, 0.0, 400.0, 400.0],     # junk collage box over both faces
+        [20.0, 20.0, 120.0, 120.0],   # real face A (disjoint from B)
+        [250.0, 250.0, 350.0, 350.0],  # real face B
+    ]])
+    scores = jnp.asarray([[0.65, 0.99, 0.98]])
+    valid = jnp.ones((1, 3), bool)
+    eff = np.asarray(demote_nested(boxes, scores, valid))
+    assert eff[0, 1] == 0.99 and eff[0, 2] == 0.98  # faces NOT demoted
+    b, s, v, idx = nms(boxes[0], jnp.asarray(eff[0]), valid[0], 0.7, "min", 3)
+    kept = set(np.asarray(idx)[np.asarray(v)].tolist())
+    assert kept == {1, 2}  # faces win; the collage box dies in the NMS
+
+    # one face's MUTUALLY OVERLAPPING part boxes do not make it a collage:
+    # the whole face still demotes both parts (the real close-up pattern —
+    # reference gallery part boxes overlap on the face region)
+    boxes2 = jnp.asarray([[
+        [0.0, 0.0, 160.0, 160.0],     # whole face
+        [40.0, 60.0, 105.0, 125.0],   # part (cheek)
+        [50.0, 70.0, 100.0, 120.0],   # part (nose), IoU with cheek >= 0.3
+    ]])
+    scores2 = jnp.asarray([[0.70, 0.95, 0.93]])
+    eff2 = np.asarray(demote_nested(boxes2, scores2, valid))
+    assert eff2[0, 0] == 0.70 and eff2[0, 1] < 0.0 and eff2[0, 2] < 0.0
+
+
 def test_large_quota_feeds_onet():
     """k_large reserves O-Net slots for large R-Net survivors; output stays
     [B, max_faces] and both k_large settings trace (static shapes)."""
