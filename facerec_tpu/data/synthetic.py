@@ -16,8 +16,15 @@ from pathlib import Path
 import numpy as np
 
 
-def _identity_params(rng: np.random.Generator) -> dict:
-    return {
+def _identity_params(rng: np.random.Generator,
+                     skin_lum_range: tuple[float, float] | None = None) -> dict:
+    """``skin_lum_range``: opt-in WIDE skin-luminance draw. The default
+    mapping in render_face_photo lands base luminance in [0.58, 1.0] —
+    light-to-medium tones only. Detector training opts into (0.25, 1.0)
+    (detect/train.py) so R/O-Net learn dark skin; consumers whose measured
+    baselines were established on the narrow range (bench frames, embedder
+    datasets) keep the default until their numbers are re-validated."""
+    p = {
         "skin": rng.uniform(0.35, 0.85, size=3),
         "face_ax": rng.uniform(0.28, 0.38),
         "face_ay": rng.uniform(0.34, 0.45),
@@ -31,6 +38,9 @@ def _identity_params(rng: np.random.Generator) -> dict:
         "hair_col": rng.uniform(0.0, 0.6, size=3),
         "hair_top": rng.uniform(-0.42, -0.3),
     }
+    if skin_lum_range is not None:
+        p["skin_lum"] = float(rng.uniform(*skin_lum_range))
+    return p
 
 
 def render_face(params: dict, size: int, jitter_rng: np.random.Generator | None = None) -> np.ndarray:
@@ -143,6 +153,8 @@ def render_face_photo(
     # and adds a small per-channel cast
     raw = np.asarray(params["skin"], np.float32)
     base = float(raw.mean()) * 0.85 + 0.28
+    if params.get("skin_lum") is not None:  # opt-in wide draw (_identity_params)
+        base = float(params["skin_lum"])
     skin = np.asarray([base * 1.10, base * 0.84, base * 0.68], np.float32)
     skin = np.clip(skin + (raw - raw.mean()) * 0.15, 0.05, 1.0)
 
@@ -232,12 +244,16 @@ def render_face_photo(
     img = _over(img, lips, lip_col)
     seam = _soft_ellipse(u, v, 0.0, my, mw * 0.92, mh * 0.45, 0.6) * face_a
     img = _over(img, seam * 0.85, lip_col * 0.55)
-    # stubble / beard: darken the jaw region with noise texture (p~0.35)
+    # stubble / beard: darken the jaw region with noise texture (p~0.35).
+    # Wide-appearance identities (skin_lum opt-in) extend the strength to
+    # full-beard darkening (0.55); the default stays stubble-only (0.35) so
+    # distributions with measured baselines (bench frames) are untouched.
     if rng.uniform() < 0.35:
+        beard_hi = 0.55 if params.get("skin_lum") is not None else 0.35
         jaw = _soft_ellipse(u, v, 0.0, ay * 0.55, ax * 0.85, ay * 0.55, 0.35) * face_a
         jaw = jaw * np.clip((v - my + 0.06) / 0.08, 0, 1)  # below the lip line
         grain = rng.uniform(0.6, 1.0, (size, size)).astype(np.float32)
-        img *= (1.0 - rng.uniform(0.12, 0.35) * jaw * grain)[..., None]
+        img *= (1.0 - rng.uniform(0.12, beard_hi) * jaw * grain)[..., None]
 
     # hair: style drawn from the identity (cap / full ring around the face /
     # short-or-bald), top at hair_top

@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from facerec_tpu.config import logger
-from facerec_tpu.data.synthetic import render_scene
+from facerec_tpu.data.synthetic import _identity_params, render_scene
 from facerec_tpu.detect.mtcnn import ONet, PNet, RNet
 from facerec_tpu.detect.weights import DEFAULT_DIR, save_detector_params
 
@@ -174,7 +174,14 @@ def make_training_samples(
             fr = (int(canvas * 0.9), int(canvas * 1.45))
         else:
             fr = (32, int(canvas * 1.25))
-        img, box, lmk = render_scene(rng, canvas=canvas, face_size_range=fr)
+        # wide-appearance identities: skin luminance 0.25-1.0 (the default
+        # render distribution stops at 0.58 — light/medium tones only) and
+        # full-beard jaw darkening. The one reference-gallery photo whose
+        # full-face box every trained O-Net rejects is a dark-skinned
+        # bearded subject the narrow distribution never renders.
+        img, box, lmk = render_scene(
+            rng, canvas=canvas, face_size_range=fr,
+            params=_identity_params(rng, skin_lum_range=(0.25, 1.0)))
         bw, bh = box[2] - box[0], box[3] - box[1]
         side = max(bw, bh)
         cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
