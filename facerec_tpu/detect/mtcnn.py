@@ -194,14 +194,20 @@ def demote_nested(boxes: jnp.ndarray, scores: jnp.ndarray,
     (reference app.py:274-286). Inputs are batched [B, N, 4] / [B, N].
 
     Collage guard: an outer box containing TWO OR MORE mutually disjoint
-    (pairwise IoU < 0.3) valid detections is not a face — faces contain at
-    most one face, and one face's part boxes mutually overlap on the face
-    region — so it demotes nothing. Without this, a junk frame-sized box
-    that sneaks past O-Net (~0.65) on a crowded frame demotes every real
-    face (~1.0) nested inside it, then suppresses them all in the min-mode
-    NMS: measured 48/64 -> 52/64 bench slots with the ungated large quota
-    (large_rnet_threshold=0.0). With the guard, such a box demotes nothing
-    and dies in the NMS against the higher-scored faces it overlaps."""
+    (pairwise IoU < 0.3) valid detections, each FAR smaller than it (area
+    ratio >= 8 — grid-of-faces scale), is not a face and demotes nothing.
+    Without this, a junk frame-sized box that sneaks past O-Net (~0.65) on
+    a crowded frame demotes every real face (~1.0) nested inside it, then
+    suppresses them all in the min-mode NMS: measured 48/64 -> 52/64 bench
+    slots with the ungated large quota (large_rnet_threshold=0.0). With
+    the guard, such a box demotes nothing and dies in the NMS against the
+    higher-scored faces it overlaps. The >= 8 size cut separates the two
+    measured populations: faces inside a bench collage box are 12-60x
+    smaller in area (a 498 px junk box over 64-144 px faces), while a real
+    close-up face's part boxes are only 2.9-5x smaller (57-76 px parts in
+    a 127 px face, which CAN be mutually disjoint — eye vs mouth — and
+    must not flip the guard, or the covering box loses whole-over-part
+    demotion exactly where it matters)."""
     ix1 = jnp.maximum(boxes[:, :, None, 0], boxes[:, None, :, 0])
     iy1 = jnp.maximum(boxes[:, :, None, 1], boxes[:, None, :, 1])
     ix2 = jnp.minimum(boxes[:, :, None, 2], boxes[:, None, :, 2])
@@ -216,7 +222,9 @@ def demote_nested(boxes: jnp.ndarray, scores: jnp.ndarray,
     # disjoint. N is a small static slot count (<= rnet_keep + k_large), so
     # the [B,N,N,N] mask is a few MB of VPU work, nothing at serve scale.
     iou = inter / jnp.maximum(area[:, :, None] + area[:, None, :] - inter, 1e-12)
-    nv = nested & valid[:, :, None]  # nested AND the inner box itself valid
+    # collage evidence: nested, itself valid, and grid-of-faces small
+    nv = (nested & valid[:, :, None]
+          & (area[:, None, :] >= 8.0 * area[:, :, None]))
     disj = iou < 0.3  # [B, i, i']
     collage = jnp.any(
         nv[:, :, None, :] & nv[:, None, :, :] & disj[:, :, :, None],
@@ -299,10 +307,14 @@ class MTCNN:
         ``thresholds[1]`` to restore uniform gating.
 
         ``rnet_keep``: fine slots the stage-2 NMS passes to O-Net (default
-        ``max_faces``). With crowded frames (gt count == max_faces), R-Net
-        duplicate survivors of one face rank-starve another face out of a
-        max_faces budget (measured: 15/16 bench-frame losses were exactly
-        this); rnet_keep > max_faces lets O-Net + the final NMS arbitrate.
+        ``2 * max_faces``, clamped to ``k_rnet``). With crowded frames
+        (gt count == max_faces), R-Net duplicate survivors of one face
+        rank-starve another face out of a max_faces budget (measured:
+        15/16 bench-frame losses were exactly this, and the remaining
+        60/64 bench fill at rnet_keep == max_faces becomes 64/64 at 2x —
+        every "missed" face was a rank-starved one, not a scoring miss);
+        rnet_keep > max_faces lets O-Net + the final NMS arbitrate at the
+        cost of ``rnet_keep - max_faces`` extra 48 px O-Net crops.
         O-Net's batch grows to ``rnet_keep + k_large``.
 
         ``rnet_nms_iou``: IoU threshold of the stage-2 fine NMS (default
@@ -336,7 +348,11 @@ class MTCNN:
         self.coarse_pnet_threshold = coarse_pnet_threshold
         self.k_large = k_large
         self.large_rnet_threshold = large_rnet_threshold
-        self.rnet_keep = max_faces if rnet_keep is None else rnet_keep
+        # default 2x max_faces; never below max_faces (the final NMS must be
+        # able to emit max_faces slots) and never above k_rnet unless
+        # max_faces itself exceeds k_rnet (degenerate configs pad).
+        self.rnet_keep = (min(2 * max_faces, max(k_rnet, max_faces))
+                          if rnet_keep is None else rnet_keep)
         self.rnet_nms_iou = rnet_nms_iou
         self.prefer_whole = prefer_whole
         self.approx_topk = approx_topk

@@ -185,6 +185,20 @@ def test_demote_nested_collage_guard():
     eff2 = np.asarray(demote_nested(boxes2, scores2, valid))
     assert eff2[0, 0] == 0.70 and eff2[0, 1] < 0.0 and eff2[0, 2] < 0.0
 
+    # DISJOINT part boxes at part scale (< 8x area ratio) must not flip the
+    # guard either: Henry_00000001 at rnet_keep=16 produced 57-76 px
+    # mutually disjoint parts inside the 127 px covering face — collage
+    # evidence requires grid-of-faces scale (>= 8x smaller), so the whole
+    # face still demotes them and keeps its portrait-covering box
+    boxes3 = jnp.asarray([[
+        [10.0, 10.0, 140.0, 140.0],   # whole face, 130 px
+        [20.0, 30.0, 80.0, 90.0],     # eye region, 60 px, ratio ~4.7
+        [75.0, 95.0, 135.0, 138.0],   # mouth region, disjoint from eye
+    ]])
+    scores3 = jnp.asarray([[0.80, 0.99, 0.97]])
+    eff3 = np.asarray(demote_nested(boxes3, scores3, valid))
+    assert eff3[0, 0] == 0.80 and eff3[0, 1] < 0.0 and eff3[0, 2] < 0.0
+
 
 def test_large_quota_feeds_onet():
     """k_large reserves O-Net slots for large R-Net survivors; output stays
