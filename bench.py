@@ -41,7 +41,12 @@ def _face_frames(batch: int, frame_hw: tuple[int, int], faces_per_frame: int, rn
     cell_h, cell_w = h // rows, w // cols
     for b in range(batch):
         for f in range(faces_per_frame):
-            p = _identity_params(rng)
+            # wide-appearance identities (skin luminance 0.25-1.0, full-beard
+            # darkening): the bench measures the distribution the detector
+            # trains on and real deployments see, not the legacy
+            # light/medium-only draw (fill re-validated after widening:
+            # 384/384 at batch 48)
+            p = _identity_params(rng, skin_lum_range=(0.25, 1.0))
             size = int(rng.integers(64, min(cell_h, cell_w)))
             # photo-style faces (shaded, alpha-blended, mild rotation): the
             # domain the detector trains on at 75% weight and the closest

@@ -407,10 +407,41 @@ def finetune_refiners(
     return path
 
 
+def finetune_pnet(
+    out_dir: str | Path,
+    n_scenes: int = 1500,
+    steps: int = 400,
+    lr: float = 2e-4,
+    seed: int = 30,
+) -> Path:
+    """Fine-tune P-Net from the committed weights on the (now wide-
+    appearance) scene distribution; R-Net and O-Net are kept verbatim.
+
+    The refiner fine-tunes (finetune_refiners) kept P-Net verbatim as a
+    safety choice, so after the wide-appearance refiner adoption the
+    PROPOSAL stage was still narrow-trained: matched-GT diagnosis on
+    wide-appearance bench frames showed dark faces (skin luminance
+    0.28-0.39) with best P-Net candidate IoU ~0 — never proposed, so the
+    wide-trained refiners never saw them. Writes a CANDIDATE set; adopt
+    only after tools/detector_eval.py clears BOTH domains ON TPU."""
+    from facerec_tpu.detect.weights import load_detector_params
+
+    base = load_detector_params()
+    logger.info("fine-tuning P-Net (wide-appearance scenes)...")
+    pnet = train_net(PNet(), 12, n_scenes, steps, lr=lr, seed=seed,
+                     init_params=base["pnet"])
+    path = save_detector_params({"pnet": pnet, "rnet": base["rnet"],
+                                 "onet": base["onet"]}, out_dir)
+    logger.info("candidate P-Net weights saved to %s", path)
+    return path
+
+
 if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "finetune":
         finetune_refiners(sys.argv[2] if len(sys.argv) > 2 else "outputs/detector_candidate")
+    elif len(sys.argv) > 1 and sys.argv[1] == "finetune-pnet":
+        finetune_pnet(sys.argv[2] if len(sys.argv) > 2 else "outputs/detector_candidate_p")
     else:
         train_detector()
