@@ -21,9 +21,9 @@ def _identity_params(rng: np.random.Generator,
     """``skin_lum_range``: opt-in WIDE skin-luminance draw. The default
     mapping in render_face_photo lands base luminance in [0.58, 1.0] —
     light-to-medium tones only. Detector training opts into (0.25, 1.0)
-    (detect/train.py) so R/O-Net learn dark skin; consumers whose measured
-    baselines were established on the narrow range (bench frames, embedder
-    datasets) keep the default until their numbers are re-validated."""
+    (detect/train.py) so R/O-Net learn dark skin; bench.py and the embedder
+    dataset builders (make_synthetic_arrays / write_synthetic_imagefolder)
+    now default to the same wide draw (floors re-measured round 3)."""
     p = {
         "skin": rng.uniform(0.35, 0.85, size=3),
         "face_ax": rng.uniform(0.28, 0.38),
@@ -58,9 +58,21 @@ def render_face(params: dict, size: int, jitter_rng: np.random.Generator | None 
     img = np.full((size, size, 3), 0.12, np.float32)
     # hair block
     img[v < params["hair_top"]] = params["hair_col"]
-    # face ellipse
+    # face ellipse — honor the wide skin-luminance draw when the identity
+    # carries one. Unlike render_face_photo's warm-ratio mapping (fine for
+    # DETECTION training, where identity doesn't matter), classification
+    # datasets must keep the per-channel draw's hue as an identity cue:
+    # replacing it with fixed warm ratios left identities separated by
+    # luminance alone, which the ±20% light jitter overlaps across
+    # identities — measured test acc fell to chance (0.25) on the 4-class
+    # verify recipe. Scaling the raw draw to the target luminance preserves
+    # channel ratios exactly (up to clipping).
+    skin = np.asarray(params["skin"], np.float32)
+    if params.get("skin_lum") is not None:
+        base = float(params["skin_lum"])
+        skin = np.clip(skin * (base / max(float(skin.mean()), 1e-3)), 0.05, 1.0)
     face = (u / params["face_ax"]) ** 2 + (v / params["face_ay"]) ** 2 <= 1.0
-    img[face] = params["skin"]
+    img[face] = skin
     # eyes
     for sx in (-1.0, 1.0):
         eye = (u - sx * params["eye_dx"]) ** 2 + (v - params["eye_y"]) ** 2 <= params["eye_r"] ** 2
@@ -423,11 +435,15 @@ def render_scene(
 
 
 def make_synthetic_arrays(
-    num_classes: int = 4, per_class: int = 8, size: int = 64, seed: int = 0
+    num_classes: int = 4, per_class: int = 8, size: int = 64, seed: int = 0,
+    skin_lum_range: tuple[float, float] | None = (0.25, 1.0),
 ) -> tuple[np.ndarray, np.ndarray]:
-    """In-memory dataset: (images [N,H,W,3] uint8, labels [N] int32)."""
+    """In-memory dataset: (images [N,H,W,3] uint8, labels [N] int32).
+    Defaults to the WIDE skin-luminance draw (0.25-1.0) matching the detector
+    training distribution and bench frames; pass None for the legacy
+    light/medium-only draw."""
     rng = np.random.default_rng(seed)
-    ids = [_identity_params(rng) for _ in range(num_classes)]
+    ids = [_identity_params(rng, skin_lum_range=skin_lum_range) for _ in range(num_classes)]
     imgs, labels = [], []
     for c, p in enumerate(ids):
         for i in range(per_class):
@@ -444,14 +460,17 @@ def write_synthetic_imagefolder(
     size: int = 64,
     seed: int = 0,
     splits: tuple[tuple[str, float], ...] = (("train", 0.7), ("val", 0.15), ("test", 0.15)),
+    skin_lum_range: tuple[float, float] | None = (0.25, 1.0),
 ) -> Path:
     """Write a synthetic dataset in the reference's processed-data layout
-    (70/15/15 per-person split — reference data_prep.py:309-328)."""
+    (70/15/15 per-person split — reference data_prep.py:309-328).
+    Defaults to the WIDE skin-luminance draw (0.25-1.0); pass None for the
+    legacy light/medium-only draw."""
     from PIL import Image
 
     root = Path(root)
     rng = np.random.default_rng(seed)
-    ids = [_identity_params(rng) for _ in range(num_classes)]
+    ids = [_identity_params(rng, skin_lum_range=skin_lum_range) for _ in range(num_classes)]
     for c, p in enumerate(ids):
         person = f"person_{c:03d}"
         counts = [max(1, int(round(per_class * frac))) for _, frac in splits]

@@ -20,6 +20,29 @@ def test_synthetic_arrays_identity_consistency():
     assert same < diff
 
 
+def test_synthetic_wide_skin_draw():
+    """The embedder dataset builders default to the WIDE skin-luminance draw
+    (0.25-1.0, matching detector training and bench frames): render_face must
+    honor skin_lum, identities must span dark-to-light, and identity
+    separability must survive the widening (README representation item)."""
+    from facerec_tpu.data.synthetic import _identity_params, render_face
+
+    rng = np.random.default_rng(3)
+    ids = [_identity_params(rng, skin_lum_range=(0.25, 1.0)) for _ in range(32)]
+    lums = np.asarray([p["skin_lum"] for p in ids])
+    assert lums.min() < 0.40 and lums.max() > 0.85  # spans the wide range
+    # rendered face-region brightness tracks the drawn luminance
+    dark = next(p for p in ids if p["skin_lum"] < 0.35)
+    light = next(p for p in ids if p["skin_lum"] > 0.85)
+    f_dark = render_face(dark, 48).astype(np.float32).mean()
+    f_light = render_face(light, 48).astype(np.float32).mean()
+    assert f_light > f_dark + 15  # clearly brighter in uint8 units
+    # wide-draw arrays keep same-identity < cross-identity distance
+    imgs, _ = make_synthetic_arrays(num_classes=3, per_class=4, size=32, seed=11)
+    f = imgs.reshape(12, -1).astype(np.float32)
+    assert np.linalg.norm(f[0] - f[1]) < np.linalg.norm(f[0] - f[5])
+
+
 def test_imagefolder_index_and_batcher(synthetic_imagefolder):
     idx = ImageFolderIndex.build(synthetic_imagefolder / "train")
     assert idx.num_classes == 4
