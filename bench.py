@@ -79,11 +79,20 @@ def main() -> None:
     # 48 -> 23.9k, 64 -> 23.2k faces/s — 48 is the sweet spot; the round-2
     # "batch-64 knee" (64 regressing below 32) no longer reproduces.
     batch = int(os.environ.get("BENCH_BATCH", 48))
-    cfg = ServeConfig(max_faces=8, gallery_capacity=1024, top_k=5, embed_size=160,
+    # BENCH_GALLERY: production-scale variant (e.g. 131072) — round-3 VERDICT
+    # item 7; the default stays at the reference demo's scale regime.
+    gallery_cap = int(os.environ.get("BENCH_GALLERY", 1024))
+    cfg = ServeConfig(max_faces=8, gallery_capacity=gallery_cap, top_k=5, embed_size=160,
                       detection_threshold=0.0)  # thresholds don't change the compute
 
+    # The round-3 darkest-tail misses were stage-1 candidate rank starvation
+    # (8 faces x multi-scale P-Net duplicates overflow 32 fine slots; P-Net
+    # scores those faces 0.75-0.91 — tools/probe_pnet_dark.py), fixed by the
+    # 'dupmin' cross-scale NMS default (detect/mtcnn.py): fill 91.7% -> 99%
+    # at k_rnet=32, vs 97.4% and -10% e2e for the k_rnet=64 alternative.
     detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
-                     k_pnet=64, k_rnet=32, dtype=jnp.bfloat16,
+                     k_pnet=64, k_rnet=int(os.environ.get("BENCH_K_RNET", 32)),
+                     dtype=jnp.bfloat16,
                      input_range="255")  # skip the per-call range reduce (~0.7 ms)
     try:
         from facerec_tpu.detect.weights import load_detector_params
@@ -107,9 +116,10 @@ def main() -> None:
     pipe = FacePipeline(cfg, frame_hw, detector, det_params, embed_fn, embed_dim=512,
                         embed_variables=evars)
     rng = np.random.default_rng(0)
-    # populated gallery — bulk enrollment is ONE upload, not 512 dispatches
-    pipe.gallery.add_many([f"id_{i}" for i in range(512)],
-                          rng.normal(size=(512, 512)).astype(np.float32))
+    # populated gallery (half capacity) — bulk enrollment is ONE upload
+    n_ids = gallery_cap // 2
+    pipe.gallery.add_many([f"id_{i}" for i in range(n_ids)],
+                          rng.normal(size=(n_ids, 512)).astype(np.float32))
 
     frames = _face_frames(batch, frame_hw, cfg.max_faces, rng)
     t0 = time.time()
@@ -118,15 +128,23 @@ def main() -> None:
     # (compute is threshold-independent under static shapes, but an empty
     # valid mask would mean we timed a detector that sees nothing).
     r = pipe.process(frames)
-    found = float(jax.device_get((r.probs >= 0.6).sum()))
+    probs = jax.device_get(r.probs)
+    found = float((probs >= 0.6).sum())
+    # fill at the demo operating point too (reference app.py:18 DET=0.9) so a
+    # score-calibration regression can't hide under the looser 0.6 count
+    found_090 = float((probs >= 0.9).sum())
     expected = batch * cfg.max_faces
-    # 0.8 bar: per-face detection is ~100% in isolation, but the gridded
-    # 8-face layout loses a few SLOTS to final-stage "min"-overlap NMS
-    # merging adjacent faces into one box (measured 81-88% slot fill).
-    if found < 0.8 * expected:
+    # 0.95 bar (ratcheted from 0.8 after the round-4 k_rnet fix: measured
+    # 383/384; the residual loss mode is adjacent-face NMS slot merging)
+    bar = 0.95
+    if found < bar * expected:
         print(f"# WARNING detector found {found:.0f}/{expected} faces at prob>=0.6",
               file=sys.stderr)
     stats = pipe.benchmark(frames, iters=20)
+    transfer = None
+    if os.environ.get("BENCH_TRANSFER"):
+        # transfer-INCLUSIVE variant: fresh uint8 host frames every iteration
+        transfer = pipe.benchmark_transfer(frames, iters=12)
     compile_note = time.time() - t0
 
     value = stats["faces_per_sec"]
@@ -136,15 +154,20 @@ def main() -> None:
         "unit": "faces/sec/chip",
         "vs_baseline": round(value / 5000.0, 4),
         # detection slot fill travels WITH the throughput number so a detector
-        # regression below the 0.8 bar can't hide in a stderr warning
+        # regression below the bar can't hide in a stderr warning
         "detected": int(found),
         "detected_expected": expected,
-        "detected_ok": bool(found >= 0.8 * expected),
+        "detected_ok": bool(found >= bar * expected),
+        "detected_p090": int(found_090),
     }
+    if transfer is not None:
+        out["transfer_inclusive_faces_per_sec"] = round(transfer["faces_per_sec"], 1)
     print(json.dumps(out))
     print(f"# frames/sec={stats['frames_per_sec']:.1f} batch={batch} "
-          f"frame={frame_hw} max_faces={cfg.max_faces} total_bench_s={compile_note:.1f} "
-          f"backend={jax.default_backend()} detected={found:.0f}/{expected}", file=sys.stderr)
+          f"frame={frame_hw} max_faces={cfg.max_faces} gallery={gallery_cap} "
+          f"total_bench_s={compile_note:.1f} "
+          f"backend={jax.default_backend()} detected={found:.0f}/{expected} "
+          f"detected@0.9={found_090:.0f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

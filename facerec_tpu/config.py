@@ -293,6 +293,11 @@ class TuningConfig(_DictMixin):
     # Costs one ~60-step range test per trial; the once-per-study pre-pass
     # above is the cheap default.
     use_lr_finder_per_trial: bool = False
+    # "tpe-lite" (default): after 8 completed trials, half the samples
+    # perturb a top-quartile trial (the stand-in for the reference's Optuna
+    # TPE, hyperparameter_tuning.py:422-448); "random": pure random search.
+    # Sample-efficiency A/B recorded in docs/TUNER.md (tools/ab_tuner.py).
+    sampler: str = "tpe-lite"
 
 
 def set_random_seeds(seed: int = 42) -> None:

@@ -270,6 +270,7 @@ class MTCNN:
         rnet_keep: int | None = None,
         rnet_nms_iou: float = 0.7,
         lowlight_norm: bool = True,
+        cross_scale_nms_mode: str = "dupmin",
     ):
         """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
         pyramid levels (proposal side >= half the frame — full-face
@@ -354,6 +355,22 @@ class MTCNN:
         self.rnet_keep = (min(2 * max_faces, max(k_rnet, max_faces))
                           if rnet_keep is None else rnet_keep)
         self.rnet_nms_iou = rnet_nms_iou
+        # Stage-1 cross-scale NMS overlap mode. "union" (classic MTCNN) keeps
+        # one box PER (face, pyramid level): concentric boxes 1.41x apart in
+        # side have IoU ~0.5 < 0.7, so an F-face frame occupies ~3F-4F of the
+        # k_rnet fine slots and rank-starves low-scoring (dark) faces out of
+        # R-Net's input entirely (measured: every round-3 bench miss — the
+        # "low-contrast floor" diagnosis was wrong; P-Net scores those faces
+        # 0.75-0.91, tools/probe_pnet_dark.py). "dupmin" (the default) merges
+        # SIMILAR-SIZE concentric duplicates by min-overlap while leaving
+        # part-in-whole pairs to classic IoU (ops/nms.py overlap_matrix) —
+        # one slot per face: bench fill 91.7% -> 99.0% at k_rnet=32, where
+        # the brute-force alternative (k_rnet=64, union) reached only 97.4%
+        # and cost ~10% e2e throughput (tools/ab_krnet.py). Plain "min" is
+        # NOT offered as a default: it also merges part-into-whole and let a
+        # higher-scoring part candidate eat the whole face on the hardest
+        # reference-gallery photo.
+        self.cross_scale_nms_mode = cross_scale_nms_mode
         self.prefer_whole = prefer_whole
         self.approx_topk = approx_topk
         if input_range not in ("auto", "255", "1"):
@@ -547,7 +564,8 @@ class MTCNN:
             cv2 = vl[:, -n_coarse:, :q].reshape(b, -1)[:, :k_c]
             fb, fs, fv = bx[:, :-n_coarse], sc[:, :-n_coarse], vl[:, :-n_coarse]
             fb2, fs2, fv2, _ = jax.vmap(
-                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet - k_c)
+                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, self.cross_scale_nms_mode,
+                                        self.k_rnet - k_c)
             )(fb.reshape(b, -1, 4), fs.reshape(b, -1), fv.reshape(b, -1))
             fb2, fs2, fv2 = _pad_slots(fb2, fs2, fv2, self.k_rnet - k_c)
             boxes = jnp.concatenate([fb2, cb2], axis=1)
@@ -555,7 +573,8 @@ class MTCNN:
             valid = jnp.concatenate([fv2, cv2], axis=1)
         else:
             boxes, scores, valid, _ = jax.vmap(
-                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, "union", self.k_rnet)
+                lambda bb, ss_, vv: nms(bb, ss_, vv, 0.7, self.cross_scale_nms_mode,
+                                        self.k_rnet)
             )(bx.reshape(b, -1, 4), sc.reshape(b, -1), vl.reshape(b, -1))
             boxes, scores, valid = _pad_slots(boxes, scores, valid, self.k_rnet)
         return _square(boxes), scores, valid

@@ -18,7 +18,7 @@ Only numpy is required here; torch is needed just to unpickle .pth files
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 import numpy as np
 
@@ -382,6 +382,34 @@ def reverse_siamese(tree: Mapping[str, Any]) -> dict[str, np.ndarray]:
     return b.sd
 
 
+def reverse_ensemble(tree: Mapping[str, Any],
+                     member_types: Sequence[str] | None = None) -> dict[str, np.ndarray]:
+    """Flax EnsembleModel tree -> reference EnsembleModel state dict
+    (keys ``models.{i}.<member keys>`` + ``weights`` — reference
+    face_models.py:862-878). The reference registers ``weights`` for every
+    method; our 'average' ensembles carry none, so uniform weights are
+    emitted (they are unused by 'average' in both frameworks)."""
+    from facerec_tpu.models import DEFAULT_ENSEMBLE_MEMBERS
+
+    member_types = list(member_types or DEFAULT_ENSEMBLE_MEMBERS)
+    params = tree.get("params", tree)
+    stats = tree.get("batch_stats") or {}
+    sd: dict[str, np.ndarray] = {}
+    for i, mt in enumerate(member_types):
+        sub = {"params": params[f"members_{i}"],
+               "batch_stats": stats.get(f"members_{i}") or {}}
+        for k, v in REVERSE_CONVERTERS[mt](sub).items():
+            sd[f"models.{i}.{k}"] = v
+    n = len(member_types)
+    sd["weights"] = np.asarray(params.get(
+        "weights", np.full((n,), 1.0 / n, np.float32)))
+    if "attn1" in params:  # 'attention' combiner -> attention_net.{0,2}
+        for t, f in (("attention_net.0", "attn1"), ("attention_net.2", "attn2")):
+            sd[f"{t}.weight"] = np.ascontiguousarray(np.asarray(params[f]["kernel"]).T)
+            sd[f"{t}.bias"] = np.asarray(params[f]["bias"])
+    return sd
+
+
 REVERSE_CONVERTERS = {
     "baseline": reverse_baseline,
     "cnn": reverse_resnet_transfer,
@@ -390,6 +418,7 @@ REVERSE_CONVERTERS = {
     "hybrid": reverse_hybrid,
     "siamese": reverse_siamese,
 }
+REVERSE_CONVERTERS["ensemble"] = reverse_ensemble
 
 
 def flax_to_torch_state_dict(tree: Mapping[str, Any], model_type: str) -> dict[str, np.ndarray]:

@@ -24,7 +24,18 @@ def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def overlap_matrix(boxes: jnp.ndarray, mode: str = "union") -> jnp.ndarray:
-    """[N, N] pairwise overlap. mode='union' -> IoU; 'min' -> inter/min(area)."""
+    """[N, N] pairwise overlap. mode='union' -> IoU; 'min' -> inter/min(area);
+    'dupmin' -> inter/min(area) for SIMILAR-SIZE pairs (area ratio <= 2.5)
+    and IoU otherwise. 'dupmin' is the stage-1 cross-scale merge criterion: a
+    face's concentric candidates from adjacent pyramid levels (area ratio
+    1.41^2 = 2 per step) have IoU ~0.5 (never merged by 'union', so an F-face
+    frame burns ~3F-4F candidate slots) but min-overlap ~1; meanwhile a
+    facial-PART box nested in a whole-face box falls back to IoU and is NOT
+    merged — plain 'min' mode merged those too and let a higher-scoring part
+    candidate eat the whole face (measured: the hardest reference-gallery
+    photo lost full-face coverage, tools/detector_eval.py). The 2.5 bound
+    separates the measured populations: one-step duplicates sit at 2.0, the
+    pathological part-vs-whole pair on that photo at 2.6."""
     x1 = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
     y1 = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
     x2 = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
@@ -33,6 +44,11 @@ def overlap_matrix(boxes: jnp.ndarray, mode: str = "union") -> jnp.ndarray:
     a = box_area(boxes)
     if mode == "min":
         denom = jnp.minimum(a[:, None], a[None, :])
+    elif mode == "dupmin":
+        a_min = jnp.minimum(a[:, None], a[None, :])
+        a_max = jnp.maximum(a[:, None], a[None, :])
+        similar = a_max <= 2.5 * jnp.maximum(a_min, 1e-12)
+        denom = jnp.where(similar, a_min, a[:, None] + a[None, :] - inter)
     else:
         denom = a[:, None] + a[None, :] - inter
     return inter / jnp.maximum(denom, 1e-12)

@@ -133,6 +133,9 @@ class FaceDemo:
         # fetched per-row only when enrolling (one transfer per enrollment,
         # not one [F, D] transfer per frame)
         self._last_embeddings = None
+        # double-buffering: the in-flight (frame, (packed_dev, emb_dev)) pair
+        # whose result has been dispatched but not yet materialized
+        self._inflight: tuple[np.ndarray, tuple] | None = None
 
     def _webcam_source(self):
         import cv2
@@ -180,17 +183,42 @@ class FaceDemo:
             if self.config.skip_frames and frame_i % (self.config.skip_frames + 1):
                 continue  # frame skipping (reference app.py:170-179)
             try:
-                faces = self.process_frame(frame)
-                if not self.result_q.full():
-                    self.result_q.put((frame, faces))
+                done = self.submit_frame(frame)
+                if done is not None and not self.result_q.full():
+                    self.result_q.put(done)
             except Exception as e:  # keep the loop alive (reference app.py:168-256)
                 logger.error("demo frame failed: %s", e)
 
     def process_frame(self, frame: np.ndarray) -> list[dict]:
-        # packed demo path: ONE host materialization per frame; the [F, D]
-        # embeddings stay on device (serve/pipeline.py process_demo)
-        packed, emb = self.pipeline.process_demo(frame[None])
+        """Synchronous single-frame path (enrollment snapshots, tests):
+        dispatch + materialize this frame's result now."""
+        return self._finalize(frame, self.pipeline.dispatch_demo(frame[None]))[1]
+
+    def submit_frame(self, frame: np.ndarray) -> tuple[np.ndarray, list[dict]] | None:
+        """Double-buffered demo step: dispatch THIS frame's packed program,
+        then materialize and return the PREVIOUS frame's (frame, faces) —
+        the ~30 ms result round trip overlaps the new frame's device work
+        instead of serializing with it (reference bar: real-time webcam at
+        SKIP_FRAMES=1, app.py:17-29; round-3 VERDICT item 4). Returns None
+        on the first call (nothing completed yet); results run exactly one
+        frame behind the camera."""
+        dispatched = self.pipeline.dispatch_demo(frame[None])
+        prev, self._inflight = self._inflight, (frame, dispatched)
+        if prev is None:
+            return None
+        return self._finalize(*prev)
+
+    def flush(self) -> tuple[np.ndarray, list[dict]] | None:
+        """Materialize the trailing in-flight frame (loop shutdown)."""
+        prev, self._inflight = self._inflight, None
+        return self._finalize(*prev) if prev is not None else None
+
+    def _finalize(self, frame: np.ndarray, dispatched: tuple) -> tuple[np.ndarray, list[dict]]:
+        import jax
+
+        packed_dev, emb = dispatched
         self._last_embeddings = emb
+        packed = np.asarray(jax.device_get(packed_dev))
         faces = self.pipeline.faces_from_packed(packed)[0]
         ids = self.tracker.update([f["box"] for f in faces])
         for f, fid in zip(faces, ids):
@@ -199,7 +227,7 @@ class FaceDemo:
                 self.history.append({"name": f["name"], "distance": f["distance"],
                                      "time": time.strftime("%H:%M:%S")})
         self.capture.offer(frame, faces)
-        return faces
+        return frame, faces
 
     def embedding_for(self, slot: int) -> np.ndarray:
         """Fetch ONE face embedding [D] from the last frame's device buffer."""
@@ -209,17 +237,28 @@ class FaceDemo:
             raise RuntimeError("no frame processed yet")
         return np.asarray(jax.device_get(self._last_embeddings[0, slot]))
 
-    def measure_fps(self, n_frames: int = 40, warmup: int = 3) -> float:
+    def measure_fps(self, n_frames: int = 40, warmup: int = 3,
+                    pipelined: bool = True) -> float:
         """Headless demo-loop fps. Honest despite the relay's async dispatch:
         every frame is DISTINCT (the synthetic source moves the face) and
-        process_frame materializes the packed result on host — a true
-        barrier — so wall-clock over the loop is end-to-end frame latency."""
+        every step materializes a packed result on host — a true barrier —
+        so wall-clock over the loop is end-to-end throughput. ``pipelined``
+        uses the double-buffered loop path (results one frame behind, the
+        round trip hidden); False times the old dispatch->materialize
+        serialization for A/B."""
         for _ in range(warmup):
             self.process_frame(self.frame_source())
+        if not pipelined:
+            t0 = time.perf_counter()
+            for _ in range(n_frames):
+                self.process_frame(self.frame_source())
+            return n_frames / (time.perf_counter() - t0)
         t0 = time.perf_counter()
+        done = 0
         for _ in range(n_frames):
-            self.process_frame(self.frame_source())
-        return n_frames / (time.perf_counter() - t0)
+            done += self.submit_frame(self.frame_source()) is not None
+        done += self.flush() is not None
+        return done / (time.perf_counter() - t0)
 
     # gallery management (reference app.py:404-563)
     def add_reference(self, name: str, embedding: np.ndarray, face_img: np.ndarray | None = None):
@@ -333,8 +372,10 @@ def measure_demo_fps(n_frames: int = 40) -> dict:
     t0 = time.perf_counter()
     demo.prewarm()
     compile_s = time.perf_counter() - t0
-    fps = demo.measure_fps(n_frames)
+    fps_serial = demo.measure_fps(n_frames, pipelined=False)
+    fps = demo.measure_fps(n_frames, pipelined=True)
     return {"demo_fps": round(fps, 2), "frame_ms": round(1000.0 / fps, 2),
+            "demo_fps_serial": round(fps_serial, 2),
             "prewarm_s": round(compile_s, 1), "n_frames": n_frames}
 
 

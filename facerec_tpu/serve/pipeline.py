@@ -252,15 +252,37 @@ class FacePipeline:
 
         return packed
 
-    def process_demo(self, frames: np.ndarray) -> tuple[np.ndarray, jnp.ndarray]:
-        """Demo fast path: (packed host [B,F,19], device embeddings [B,F,D])."""
-        frames = jnp.asarray(frames, jnp.float32)
+    def _upload_frames(self, frames: np.ndarray) -> jnp.ndarray:
+        """Host->device frame upload. uint8 frames transfer AS uint8 — 1/4 the
+        bytes of the old unconditional float32 cast (3.7 MB -> 0.9 MB per
+        480x640 frame) — and are cast to float INSIDE the jit step, which is
+        bit-identical to casting on host (integral values are exact in f32).
+        Float inputs (e.g. synthetic bench frames with fractional blends)
+        keep the float32 path."""
+        arr = np.asarray(frames)
+        if arr.dtype != np.uint8:
+            arr = arr.astype(np.float32, copy=False)
+        out = jnp.asarray(arr)
         if self._frame_sharding is not None:
-            frames = jax.device_put(frames, self._frame_sharding)
-        flat, emb = self._packed_step(
+            out = jax.device_put(out, self._frame_sharding)
+        return out
+
+    def dispatch_demo(self, frames: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Async demo dispatch: upload + enqueue the packed step, return the
+        DEVICE buffers (packed [B,F,19], embeddings [B,F,D]) without
+        materializing. The demo loop double-buffers on this: frame N+1 is
+        dispatched before frame N's packed result is fetched, hiding the
+        ~30 ms host round trip behind the next frame's device work
+        (round-3 VERDICT item 4)."""
+        frames = self._upload_frames(frames)
+        return self._packed_step(
             frames, self.gallery.embeddings, self.gallery.count_device,
             self.detector_params,
             self.embed_variables if self.embed_variables is not None else ())
+
+    def process_demo(self, frames: np.ndarray) -> tuple[np.ndarray, jnp.ndarray]:
+        """Demo fast path: (packed host [B,F,19], device embeddings [B,F,D])."""
+        flat, emb = self.dispatch_demo(frames)
         return np.asarray(jax.device_get(flat)), emb
 
     def faces_from_packed(self, flat: np.ndarray) -> list[list[dict]]:
@@ -291,10 +313,8 @@ class FacePipeline:
         """frames: [B, H, W, 3] uint8/float RGB -> device results. The gallery
         matrix and count stay device-resident (GalleryStore) — nothing but the
         frames transfers per call."""
-        frames = jnp.asarray(frames, jnp.float32)
-        if self._frame_sharding is not None:
-            frames = jax.device_put(frames, self._frame_sharding)
-        return self._step(frames, self.gallery.embeddings, self.gallery.count_device)
+        return self._step(self._upload_frames(frames), self.gallery.embeddings,
+                          self.gallery.count_device)
 
     def identify(self, frames: np.ndarray) -> list[list[dict]]:
         """Host-friendly results: per frame, a list of face dicts with names
@@ -372,6 +392,59 @@ class FacePipeline:
         t_long = chain(iters)
         dt = max((t_long - t_short) / (iters - n_short), 1e-6)
         b = frames.shape[0]
+        return {
+            "sec_per_batch": dt,
+            "frames_per_sec": b / dt,
+            "faces_per_sec": b * self.config.max_faces / dt,
+        }
+
+
+    def benchmark_transfer(self, frames: np.ndarray, iters: int = 12) -> dict[str, float]:
+        """Transfer-INCLUSIVE throughput: every iteration uploads a fresh host
+        uint8 frame batch (the real serving ingestion cost the device-resident
+        ``benchmark`` excludes), then runs the fused step; slope-timed like
+        ``benchmark``. Frames are quantized to uint8 — the camera-native dtype
+        — so the measured upload is the 1-byte/channel fast path.
+
+        Distinct-inputs rule (CLAUDE.md): each upload carries a unique salt
+        stamped into one pixel, with ONE persistent cursor across the short
+        and long chains so no (content) pair ever repeats."""
+        base = np.ascontiguousarray(np.clip(np.asarray(frames), 0, 255).astype(np.uint8))
+        gallery = self.gallery.embeddings
+        count = self.gallery.count_device
+        step_raw = self._step_raw
+        det_params = self.detector_params
+        embed_vars = self.embed_variables if self.embed_variables is not None else ()
+
+        @jax.jit
+        def stepsum(fr, g, c, dp, ev):
+            return step_raw(fr, g, c, dp, ev).match_scores.sum()
+
+        cursor = [0]
+
+        def upload():
+            # in-place 3-byte salt => distinct content per upload, no copies
+            i = cursor[0]
+            cursor[0] += 1
+            base[0, 0, 0, :] = (i & 0xFF, (i >> 8) & 0xFF, 1)
+            x = jnp.asarray(base)
+            if self._frame_sharding is not None:
+                x = jax.device_put(x, self._frame_sharding)
+            return x
+
+        def chain(n: int) -> float:
+            t0 = time.perf_counter()
+            outs = [stepsum(upload(), gallery, count, det_params, embed_vars)
+                    for _ in range(n)]
+            float(outs[-1])  # host materialization = true barrier
+            return time.perf_counter() - t0
+
+        float(stepsum(upload(), gallery, count, det_params, embed_vars))  # compile+warm
+        n_short = max(iters // 4, 2)
+        t_short = chain(n_short)
+        t_long = chain(iters)
+        dt = max((t_long - t_short) / (iters - n_short), 1e-6)
+        b = base.shape[0]
         return {
             "sec_per_batch": dt,
             "frames_per_sec": b / dt,

@@ -137,11 +137,12 @@ class Study:
         return lo, hi
 
     def suggest(self, model_type: str, trial_number: int, use_trial0: bool = True,
-                lr_center: float | None = None, lr_span: float = 5.0) -> dict[str, Any]:
+                lr_center: float | None = None, lr_span: float = 5.0,
+                sampler: str = "tpe-lite") -> dict[str, Any]:
         if trial_number == 0 and use_trial0 and model_type in TRIAL0_BASELINES:
             return dict(TRIAL0_BASELINES[model_type])
         done = [t for t in self.trials if t["state"] == "COMPLETE" and t["value"] is not None]
-        if len(done) >= 8 and self.rng.random() < 0.5:
+        if sampler == "tpe-lite" and len(done) >= 8 and self.rng.random() < 0.5:
             # TPE-lite: perturb a top-quartile trial
             done.sort(key=lambda t: -t["value"])
             base = dict(self.rng.choice(done[: max(len(done) // 4, 1)])["params"])
@@ -267,7 +268,8 @@ def run_hyperparameter_tuning(
             break
         number = study.next_trial_number()
         params = study.suggest(tuning.model_type, number, tuning.use_trial0_baseline,
-                               lr_center=lr_center, lr_span=tuning.lr_finder_span)
+                               lr_center=lr_center, lr_span=tuning.lr_finder_span,
+                               sampler=getattr(tuning, "sampler", "tpe-lite"))
         cfg = params_to_config(tuning.model_type, params, base)
         if tuning.use_lr_finder_per_trial:
             # reference semantics (hyperparameter_tuning.py:634-661): the

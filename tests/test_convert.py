@@ -403,3 +403,56 @@ def test_reverse_conversion_loads_into_replica_strict():
         {"params": variables["params"], "batch_stats": variables["batch_stats"]},
         x, method="embed"))
     assert _cos_err(got, expect) < 1e-3
+
+
+@pytest.mark.parametrize("mt", ["baseline", "cnn"])
+def test_reverse_loads_into_classifier_replicas_strict(mt):
+    """baseline/cnn reverse state dicts load strict=True into the
+    reference-key-layout replicas and reproduce the Flax classifier logits
+    (reference face_models.py:16-60 BaselineNet, :62-102 ResNetTransfer)."""
+    import torch as _torch
+    from torch_replicas import REPLICAS
+
+    from facerec_tpu.models import get_model
+    from facerec_tpu.models.convert import flax_to_torch_state_dict
+
+    model = get_model(mt, num_classes=5)
+    x = np.random.default_rng(3).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(4), x))
+    sd = flax_to_torch_state_dict(variables, mt)
+    tm = REPLICAS[mt](num_classes=5)
+    tm.load_state_dict({k: _torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+                       strict=True)
+    tm.eval()
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    got = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}, x))
+    np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
+def test_reverse_ensemble_loads_strict_and_matches():
+    """Ensemble reverse conversion: models.{i}.* member keys + weights load
+    strict=True into the torch EnsembleModel replica; 'average' logits agree
+    (reference face_models.py:843-940; arcface member cosine logits :889-893)."""
+    import torch as _torch
+    from torch_replicas import make_default_ensemble
+
+    from facerec_tpu.models import get_model
+    from facerec_tpu.models.convert import flax_to_torch_state_dict
+
+    model = get_model("ensemble", num_classes=5)
+    x = np.random.default_rng(5).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = jax.device_get(model.init(
+        {"params": jax.random.PRNGKey(6), "dropout": jax.random.PRNGKey(7)}, x, train=False))
+    sd = flax_to_torch_state_dict(variables, "ensemble")
+    tm = make_default_ensemble(num_classes=5)
+    tm.load_state_dict({k: _torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+                       strict=True)
+    tm.eval()
+    with torch.no_grad():
+        expect = _np(tm(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    got = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
+        x, train=False))
+    np.testing.assert_allclose(got, expect, atol=1e-3)

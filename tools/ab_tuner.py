@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Tuner sample-efficiency A/B: TPE-lite vs pure random (VERDICT r3 item 8).
+
+The reference rides Optuna's TPE sampler (hyperparameter_tuning.py:422-448);
+our first-party stand-in perturbs a top-quartile trial after 8 completions
+(train/tuning.py Study.suggest). This measures whether that earns its keep.
+
+Two modes:
+  surface (default) — many-seed A/B on a deterministic response surface over
+    the real arcface search space (value = smooth bump around a planted
+    optimum + observation noise). Cheap and statistically solid: the sampler
+    is the only difference between arms.
+  real — one-seed confirmation with the real training objective on a
+    synthetic dataset (slow; run on TPU).
+
+Usage:
+  PYTHONPATH=/root/repo python tools/ab_tuner.py [surface|real] [n_trials]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def surface_value(p: dict, rng: np.random.Generator) -> float:
+    """Smooth unimodal response over the arcface space + noise — a stand-in
+    validation accuracy in [0, 1] with a planted optimum."""
+    lr = math.log10(max(p.get("learning_rate", 1e-3), 1e-8))
+    s = 0.0
+    s += 0.30 * math.exp(-((lr - math.log10(3e-3)) / 0.6) ** 2)
+    s += 0.15 * math.exp(-((p.get("dropout", 0.3) - 0.25) / 0.15) ** 2)
+    wd = math.log10(max(p.get("weight_decay", 1e-4), 1e-8))
+    s += 0.10 * math.exp(-((wd - math.log10(1e-4)) / 0.8) ** 2)
+    s += 0.10 * math.exp(-((p.get("arcface_margin", 0.2) - 0.2) / 0.08) ** 2)
+    s += 0.10 * math.exp(-((p.get("arcface_scale", 15.0) - 15.0) / 2.5) ** 2)
+    s += 0.05 * (p.get("batch_size", 16) in (16, 32))
+    return float(np.clip(0.25 + s + rng.normal(0, 0.02), 0.0, 1.0))
+
+
+def run_surface_study(sampler: str, seed: int, n_trials: int) -> list[float]:
+    from facerec_tpu.train.tuning import Study
+
+    study = Study(f"ab_{sampler}_{seed}", ":memory:", seed=seed)
+    noise = np.random.default_rng(10_000 + seed)  # same noise stream per seed
+    best, curve = -1.0, []
+    for i in range(n_trials):
+        n = study.next_trial_number()
+        params = study.suggest("arcface", n, use_trial0=False, sampler=sampler)
+        v = surface_value(params, noise)
+        study.record(n, "COMPLETE", v, params, [v])
+        best = max(best, v)
+        curve.append(round(best, 4))
+    return curve
+
+
+def surface_ab(n_trials: int = 24, n_seeds: int = 40) -> None:
+    out = {}
+    for sampler in ("tpe-lite", "random"):
+        curves = np.asarray([run_surface_study(sampler, s, n_trials)
+                             for s in range(n_seeds)])
+        out[sampler] = curves
+        print(json.dumps({
+            "mode": "surface", "sampler": sampler, "n_seeds": n_seeds,
+            "best_at": {str(t): round(float(curves[:, t - 1].mean()), 4)
+                        for t in (8, 12, 16, 24) if t <= n_trials},
+            "final_mean": round(float(curves[:, -1].mean()), 4),
+            "final_std": round(float(curves[:, -1].std()), 4),
+        }))
+    d = out["tpe-lite"][:, -1] - out["random"][:, -1]
+    print(json.dumps({"mode": "surface", "delta_final_mean": round(float(d.mean()), 4),
+                      "delta_se": round(float(d.std() / np.sqrt(len(d))), 4)}))
+
+
+def real_ab(n_trials: int = 16) -> None:
+    import shutil
+
+    from facerec_tpu.config import TrainConfig, TuningConfig
+    from facerec_tpu.data.synthetic import write_synthetic_imagefolder
+    from facerec_tpu.train.tuning import run_hyperparameter_tuning
+
+    ds = Path("/tmp/abtuner/ds")
+    if not ds.exists():
+        write_synthetic_imagefolder(ds, num_classes=6, per_class=12, size=64, seed=7)
+    base = TrainConfig(model_type="arcface", image_size=64, epochs=4,
+                       early_stopping=False, checkpoint_every=0)
+    for sampler in ("tpe-lite", "random"):
+        outd = Path(f"/tmp/abtuner/{sampler}")
+        shutil.rmtree(outd, ignore_errors=True)
+        t = TuningConfig(model_type="arcface", n_trials=n_trials, epochs_per_trial=4,
+                         seed=11, study_name=f"ab_{sampler}", sampler=sampler,
+                         pruning=False)
+        res = run_hyperparameter_tuning(t, ds, base_config=base, output_dir=outd)
+        vals = [tr["value"] for tr in res["trials"] if tr.get("value") is not None]
+        best_so_far = list(np.maximum.accumulate(vals)) if vals else []
+        print(json.dumps({"mode": "real", "sampler": sampler,
+                          "best": res.get("best_value"),
+                          "best_so_far": [round(float(v), 4) for v in best_so_far]}))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "surface"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else (24 if mode == "surface" else 16)
+    surface_ab(n) if mode == "surface" else real_ab(n)

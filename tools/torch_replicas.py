@@ -225,6 +225,100 @@ class TorchAttentionNet(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# BaselineNet (keys: conv{1-3}, bn{1-3}, fc1, fc2 — reference
+# face_models.py:16-60: 3x[conv-BN-ReLU-maxpool] + adaptive avgpool + FC512)
+# ---------------------------------------------------------------------------
+class TorchBaselineNet(nn.Module):
+    def __init__(self, num_classes: int = 18):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 32, 3, padding=1)
+        self.bn1 = nn.BatchNorm2d(32)
+        self.conv2 = nn.Conv2d(32, 64, 3, padding=1)
+        self.bn2 = nn.BatchNorm2d(64)
+        self.conv3 = nn.Conv2d(64, 128, 3, padding=1)
+        self.bn3 = nn.BatchNorm2d(128)
+        self.fc1 = nn.Linear(128, 512)
+        self.fc2 = nn.Linear(512, num_classes)
+
+    def embed(self, x):
+        for i in (1, 2, 3):
+            x = F.max_pool2d(F.relu(getattr(self, f"bn{i}")(getattr(self, f"conv{i}")(x))), 2)
+        return F.relu(self.fc1(x.mean(dim=(2, 3))))
+
+    def forward(self, x):
+        return self.fc2(self.embed(x))
+
+
+# ---------------------------------------------------------------------------
+# ResNetTransfer (keys: resnet.conv1..., resnet.fc.1 — reference
+# face_models.py:62-102: torchvision resnet18 with fc -> Sequential(drop, fc))
+# ---------------------------------------------------------------------------
+class TorchResNetTransfer(nn.Module):
+    def __init__(self, num_classes: int = 18, width: int = 64):
+        super().__init__()
+        self.resnet = TorchResNet18(width)
+        # attach fc onto the trunk so the key is resnet.fc.1.* like the
+        # reference's self.resnet.fc = Sequential(Dropout, Linear)
+        self.resnet.fc = nn.Sequential(nn.Dropout(0.1), nn.Linear(width * 8, num_classes))
+
+    def embed(self, x):
+        return self.resnet.pooled(x)
+
+    def forward(self, x):
+        return self.resnet.fc(self.resnet.pooled(x))
+
+
+# ---------------------------------------------------------------------------
+# EnsembleModel (keys: models.{i}.<member keys>, weights — reference
+# face_models.py:843-940; arcface members contribute cosine logits :889-893,
+# siamese members are skipped :894-897)
+# ---------------------------------------------------------------------------
+class TorchEnsembleModel(nn.Module):
+    def __init__(self, members: list, ensemble_method: str = "average"):
+        super().__init__()
+        self.models = nn.ModuleList(members)
+        self.ensemble_method = ensemble_method
+        self.weights = nn.Parameter(torch.ones(len(members)) / len(members))
+        if ensemble_method == "attention":
+            self.attention_net = nn.Sequential(
+                nn.Linear(len(members), 64), nn.ReLU(), nn.Linear(64, len(members)),
+                nn.Softmax(dim=0))
+
+    def forward(self, x):
+        outs = []
+        for m in self.models:
+            if isinstance(m, TorchArcFaceNet):
+                outs.append(m.eval_logits(x))
+            elif isinstance(m, TorchSiameseNet):
+                continue
+            else:
+                outs.append(m(x))
+        if len(outs) == 1:
+            return outs[0]
+        stacked = torch.stack(outs)
+        if self.ensemble_method == "average":
+            return stacked.mean(dim=0)
+        if self.ensemble_method == "weighted":
+            w = F.softmax(self.weights, dim=0)
+            return (w[:, None, None] * stacked).sum(dim=0)
+        if self.ensemble_method == "max":
+            return torch.log(F.softmax(stacked, dim=-1).max(dim=0).values + 1e-12)
+        raise ValueError(f"Unknown ensemble method: {self.ensemble_method}")
+
+    def embed(self, x):
+        return torch.cat([m.embed(x) for m in self.models], dim=1)
+
+
+def make_default_ensemble(num_classes: int = 18,
+                          ensemble_method: str = "average") -> TorchEnsembleModel:
+    """The reference's default member set (face_models.py:806-808):
+    cnn + attention + arcface."""
+    return TorchEnsembleModel(
+        [TorchResNetTransfer(num_classes), TorchAttentionNet(num_classes),
+         TorchArcFaceNet(num_classes)], ensemble_method)
+
+
+# ---------------------------------------------------------------------------
 # InceptionResnetV1 (facenet-pytorch key layout; depth-configurable)
 # ---------------------------------------------------------------------------
 class TorchBasicConv2d(nn.Module):
@@ -352,4 +446,7 @@ REPLICAS = {
     "hybrid": TorchHybridNet,
     "siamese": TorchSiameseNet,
     "attention": TorchAttentionNet,
+    "baseline": TorchBaselineNet,
+    "cnn": TorchResNetTransfer,
+    "ensemble": make_default_ensemble,
 }
