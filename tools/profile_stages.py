@@ -62,7 +62,11 @@ def main():
     import os
 
     B = int(os.environ.get("BENCH_BATCH", 48))  # mirror bench.py
-    F, HW, E, G, D = 8, (480, 640), 160, 1024, 512
+    F, HW, E, D = 8, (480, 640), 160, 512
+    # BENCH_GALLERY: production-scale match-stage profiling (e.g. 131072) —
+    # mirrors bench.py's env knob so the stage budget can be read at the same
+    # gallery size as the e2e number.
+    G = int(os.environ.get("BENCH_GALLERY", 1024))
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
     print(f"backend={jax.default_backend()} B={B} F={F}")
