@@ -75,7 +75,7 @@ def main():
     ap.add_argument("--k-rnet", type=int, default=32)
     ap.add_argument("--k-pnet", type=int, default=64)
     ap.add_argument("--rnet-nms-iou", type=float, default=0.7)
-    ap.add_argument("--cross-scale-mode", default="union")
+    ap.add_argument("--cross-scale-mode", default="dupmin")  # pipeline default
     args = ap.parse_args()
 
     import jax
@@ -98,6 +98,7 @@ def main():
 
     misses, total = [], 0
     lum_found, lum_missed = [], []
+    midconf = []  # matched at prob>=0.6 but below the demo operating point 0.9
     for seed in args.seeds:
         rng = np.random.default_rng(seed)
         frames, gt = face_frames_with_gt(args.batch, frame_hw, faces, rng)
@@ -111,6 +112,12 @@ def main():
             ok = bool(((det_iou >= 0.3) & (out.probs[b] >= 0.6)).any())
             if ok:
                 lum_found.append(g["lum"])
+                best = int(np.argmax(np.where(out.probs[b] >= 0.6, det_iou, -1.0)))
+                p_best = float(out.probs[b][best])
+                if p_best < 0.9:
+                    midconf.append({"seed": seed, "b": b, "lum": round(g["lum"], 3),
+                                    "size": g["size"], "prob": round(p_best, 3),
+                                    "iou": round(float(det_iou[best]), 3)})
                 continue
             lum_missed.append(g["lum"])
             # where did it die?
@@ -130,9 +137,12 @@ def main():
         "total": total, "found": total - len(misses), "fill": round(1 - len(misses) / total, 4),
         "lum_found_mean": round(float(np.mean(lum_found)), 3) if lum_found else None,
         "lum_missed": sorted(round(v, 3) for v in lum_missed),
+        "found_below_p090": len(midconf),
     }))
     for m in misses:
         print(json.dumps(m))
+    for m in midconf:
+        print(json.dumps({"midconf": m}))
 
 
 if __name__ == "__main__":

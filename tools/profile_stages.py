@@ -116,7 +116,10 @@ def main():
     embs = [jnp.asarray(rng.normal(size=(B * F, D)).astype(np.float32))
             for _ in range(13)]
     topk = gallery_topk_pallas if on_tpu else gallery_topk_xla
-    dt = slope_time(lambda e: topk(e, gallery, count, k=5), embs)
+    # gallery rides as a jit ARGUMENT (slope_time *fixed), not a closure:
+    # a closed-over 131072x512 f32 matrix bakes 256 MB of constants into the
+    # HLO and the remote-compile tunnel rejects the request (HTTP 413).
+    dt = slope_time(lambda e, g: topk(e, g, count, k=5), embs, gallery)
     print(f"match:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
 
 
