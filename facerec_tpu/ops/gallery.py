@@ -120,6 +120,13 @@ def gallery_topk_pallas(
             pltpu.VMEM((bb, kpad), jnp.int32),
         ],
     )
+    # A bf16 gallery sweeps HBM at half the bytes of f32 — the match stage is
+    # bandwidth-bound at production scale (131k x 512 f32 = 256 MB/batch).
+    # bf16 x bf16 products are exact into the f32 MXU accumulator, so the only
+    # precision loss is the one-time storage rounding (~1e-3 on unit-vector
+    # cosines — far from the REC_THRESH=1.0 operating point's knife edge).
+    in_dtype = jnp.bfloat16 if gallery.dtype == jnp.bfloat16 else jnp.float32
+    isz = jnp.dtype(in_dtype).itemsize
     out_v, out_i = pl.pallas_call(
         functools.partial(_topk_kernel, k=k, tg=bg),
         grid_spec=grid_spec,
@@ -128,11 +135,12 @@ def gallery_topk_pallas(
             jax.ShapeDtypeStruct((bp, kpad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bp * g * d, bytes_accessed=(bp * d + g * d + 2 * bp * kpad) * 4,
+            flops=2 * bp * g * d,
+            bytes_accessed=(bp * d + g * d) * isz + 2 * bp * kpad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(count, queries.astype(jnp.float32), gallery.astype(jnp.float32))
+    )(count, queries.astype(in_dtype), gallery.astype(in_dtype))
     return out_v[:b, :k], out_i[:b, :k]
 
 

@@ -108,7 +108,8 @@ def build_default_pipeline(frame_hw: tuple[int, int] = (480, 640),
     pipe = FacePipeline(config, frame_hw, detector, det_params, embed_fn, embed_dim=512,
                         embed_variables=variables)
     loaded = GalleryStore.load(FACE_REFERENCES_DIR, capacity=config.gallery_capacity,
-                               sharding=pipe.gallery.sharding)
+                               sharding=pipe.gallery.sharding,
+                               dtype=pipe.gallery.dtype)
     if loaded.count:
         pipe.gallery = loaded
         logger.info("loaded %d reference faces", loaded.count)

@@ -28,11 +28,17 @@ class GalleryStore:
     ``parallel.mesh.gallery_sharding``) pinning the matrix layout; mutations
     re-place the matrix so the sharding survives functional updates."""
 
-    def __init__(self, capacity: int = 1024, dim: int = 512, sharding=None):
+    def __init__(self, capacity: int = 1024, dim: int = 512, sharding=None,
+                 dtype=jnp.float32):
         self.capacity = capacity
         self.dim = dim
         self.sharding = sharding
-        self.embeddings = self._place(jnp.zeros((capacity, dim), jnp.float32))
+        # Device-resident storage dtype. bf16 halves the HBM bytes the match
+        # kernel sweeps per batch (the bound stage at production gallery
+        # scale); normalization always happens in f32 on host, and the
+        # on-disk pickle contract stays f32 (save() upcasts).
+        self.dtype = jnp.dtype(dtype)
+        self.embeddings = self._place(jnp.zeros((capacity, dim), self.dtype))
         self.names: list[str] = []
         self._count_dev = jnp.asarray(0, jnp.int32)
 
@@ -59,7 +65,8 @@ class GalleryStore:
         if emb.shape[0] != self.dim:
             raise ValueError(f"expected dim {self.dim}, got {emb.shape[0]}")
         emb = emb / max(np.linalg.norm(emb), 1e-12)
-        self.embeddings = self._place(self.embeddings.at[self.count].set(emb))
+        self.embeddings = self._place(
+            self.embeddings.at[self.count].set(jnp.asarray(emb, self.dtype)))
         self.names.append(name)
         self._set_count()
         return self.count - 1
@@ -83,7 +90,7 @@ class GalleryStore:
         embs = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
         start = self.count
         self.embeddings = self._place(jax.lax.dynamic_update_slice_in_dim(
-            self.embeddings, jnp.asarray(embs), start, 0))
+            self.embeddings, jnp.asarray(embs, self.dtype), start, 0))
         self.names.extend(str(n) for n in names)
         self._set_count()
         return list(range(start, self.count))
@@ -120,7 +127,8 @@ class GalleryStore:
     def save(self, directory: str | Path | None = None, images: dict[str, np.ndarray] | None = None) -> Path:
         d = Path(directory or FACE_REFERENCES_DIR)
         d.mkdir(parents=True, exist_ok=True)
-        host = np.asarray(jax.device_get(self.embeddings[: self.count]))
+        host = np.asarray(jax.device_get(
+            self.embeddings[: self.count].astype(jnp.float32)))
         refs = {n: host[i].copy() for i, n in enumerate(self.names)}
         with (d / "face_references.pkl").open("wb") as f:
             pickle.dump(refs, f)
@@ -133,11 +141,11 @@ class GalleryStore:
 
     @classmethod
     def load(cls, directory: str | Path | None = None, capacity: int = 1024,
-             sharding=None) -> "GalleryStore":
+             sharding=None, dtype=jnp.float32) -> "GalleryStore":
         d = Path(directory or FACE_REFERENCES_DIR)
         pkl = d / "face_references.pkl"
         if not pkl.exists():
-            return cls(capacity=capacity, sharding=sharding)
+            return cls(capacity=capacity, sharding=sharding, dtype=dtype)
         with pkl.open("rb") as f:
             refs = pickle.load(f)
         store: "GalleryStore" | None = None
@@ -145,15 +153,16 @@ class GalleryStore:
         for name, emb in refs.items():
             emb = np.asarray(emb, np.float32).reshape(-1)
             if store is None:
-                store = cls(capacity=capacity, dim=emb.shape[0], sharding=sharding)
+                store = cls(capacity=capacity, dim=emb.shape[0], sharding=sharding,
+                            dtype=dtype)
             n = emb / max(float(np.linalg.norm(emb)), 1e-12)
             rows.append(n)
             store.names.append(str(name))
         if store is None:
-            return cls(capacity=capacity, sharding=sharding)
+            return cls(capacity=capacity, sharding=sharding, dtype=dtype)
         # one bulk upload instead of per-row .at[].set dispatches
         mat = np.zeros((store.capacity, store.dim), np.float32)
         mat[: len(rows)] = np.stack(rows)
-        store.embeddings = store._place(jnp.asarray(mat))
+        store.embeddings = store._place(jnp.asarray(mat, store.dtype))
         store._set_count()
         return store

@@ -113,7 +113,7 @@ class FacePipeline:
         self.face_margin = face_margin
         self.precise_align = precise_align
         self.gallery = GalleryStore(capacity=config.gallery_capacity, dim=embed_dim,
-                                    sharding=gal_shard)
+                                    sharding=gal_shard, dtype=config.gallery_dtype)
         self._step_raw = self._build_step()
         self._step = lambda frames, gallery, count: self._step_raw(
             frames, gallery, count, self.detector_params,

@@ -134,6 +134,29 @@ def test_gallery_topk_pallas_matches_xla():
     assert np.all(np.asarray(d) >= 0)
 
 
+def test_gallery_topk_bf16_storage():
+    """bf16-resident gallery (ServeConfig.gallery_dtype default): the Pallas
+    sweep reads half the HBM bytes of f32. bf16 products are exact into the
+    f32 accumulator, so the kernel must match the f32 XLA oracle run on the
+    same bf16-rounded values, and the storage rounding must not change the
+    top-1 identity decision vs a full-f32 sweep."""
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(32, 256)).astype(np.float32)
+    g = (np.repeat(centers, 32, axis=0)
+         + 0.05 * rng.normal(size=(1024, 256)).astype(np.float32))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = centers + 0.05 * rng.normal(size=centers.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    gb = jnp.asarray(g, jnp.bfloat16)
+    v0, _ = gallery_topk_xla(jnp.asarray(q), gb, 1000, k=5)
+    v1, i1 = gallery_topk_pallas(jnp.asarray(q), gb, 1000, k=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-3)
+    assert int(np.asarray(i1).max()) < 1000
+    _, if32 = gallery_topk_xla(jnp.asarray(q), jnp.asarray(g), 1000, k=1)
+    np.testing.assert_array_equal(
+        np.asarray(i1)[:, 0] // 32, np.asarray(if32)[:, 0] // 32)
+
+
 def test_augment_batch_shapes_and_determinism():
     rng = np.random.default_rng(0)
     x = rng.uniform(size=(4, 32, 32, 3)).astype(np.float32)

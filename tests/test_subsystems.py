@@ -157,6 +157,34 @@ def test_gallery_store_roundtrip(tmp_path):
         GalleryStore(capacity=1, dim=4).add("a", np.ones(3))
 
 
+def test_gallery_store_bf16_storage(tmp_path):
+    """The serve default (ServeConfig.gallery_dtype="bfloat16") stores the
+    device matrix in bf16 while the on-disk pickle contract stays f32."""
+    import jax.numpy as jnp
+
+    from facerec_tpu.serve.gallery import GalleryStore
+
+    rng = np.random.default_rng(4)
+    g = GalleryStore(capacity=8, dim=16, dtype=jnp.bfloat16)
+    g.add("alice", rng.normal(size=16))
+    g.add_many(["bob", "carol"], rng.normal(size=(2, 16)))
+    assert g.embeddings.dtype == jnp.bfloat16
+    # rows are unit-norm up to bf16 rounding
+    norms = np.linalg.norm(np.asarray(g.embeddings[:3], np.float32), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=5e-3)
+    d = g.save(tmp_path)
+    import pickle
+
+    with (d / "face_references.pkl").open("rb") as f:
+        refs = pickle.load(f)
+    assert all(v.dtype == np.float32 for v in refs.values())  # disk contract
+    g2 = GalleryStore.load(d, capacity=8, dtype=jnp.bfloat16)
+    assert g2.embeddings.dtype == jnp.bfloat16 and g2.names == g.names
+    np.testing.assert_allclose(
+        np.asarray(g2.embeddings[:3], np.float32),
+        np.asarray(g.embeddings[:3], np.float32), atol=5e-3)
+
+
 def test_gallery_add_many_matches_add():
     from facerec_tpu.serve.gallery import GalleryStore
 

@@ -120,7 +120,12 @@ def main():
     # a closed-over 131072x512 f32 matrix bakes 256 MB of constants into the
     # HLO and the remote-compile tunnel rejects the request (HTTP 413).
     dt = slope_time(lambda e, g: topk(e, g, count, k=5), embs, gallery)
-    print(f"match:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
+    print(f"match:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)  [f32 gallery]")
+    # serve default (ServeConfig.gallery_dtype="bfloat16"): half the HBM
+    # sweep bytes; same-state A/B against the f32 line above
+    dt = slope_time(lambda e, g: topk(e, g, count, k=5), embs,
+                    gallery.astype(jnp.bfloat16))
+    print(f"match:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)  [bf16 gallery]")
 
 
 if __name__ == "__main__":
