@@ -17,7 +17,10 @@ Gallery entries are a valid *prefix* of the capacity (entries are compacted
 on host when references are added/removed); ``count`` masks the padding.
 Scores are cosine similarities in [-1, 1]; euclidean distance on normalized
 embeddings is ``sqrt(2 - 2*cos)`` (used to apply the reference's
-``REC_THRESH=1.0`` euclidean operating point, app.py:19).
+``REC_THRESH=1.0`` euclidean operating point, app.py:19). The Pallas kernel
+assumes that range: its packed top-k merge clamps scores below -1.9 and
+returns values quantized down by at most 2^-18 (~4e-6) — see
+``_topk_kernel``. The XLA oracle is exact.
 """
 
 from __future__ import annotations
@@ -47,6 +50,20 @@ def gallery_topk_xla(queries: jnp.ndarray, gallery: jnp.ndarray, count: jnp.ndar
     return jax.lax.top_k(scores, k)
 
 
+# Packed (score, lane-index) encoding for the in-kernel top-k merge.
+# Cosine scores are shifted into [0.1, 4), scaled by 2^20 and truncated to
+# int22, then the complemented lane index rides in the low 9 bits — one
+# int32 whose integer order IS (score desc, index asc) order. Each top-k
+# round is then a single max + mask pass instead of the argmax + one-hot
+# gather + sum passes of a value/index pair walk. Returned scores are
+# quantized DOWN by at most 2^-18 (~4e-6) — far below bf16 storage rounding
+# and the REC_THRESH operating point; ties within 2^-18 resolve to the
+# lower index, matching lax.top_k's tie rule.
+_IDX_BITS = 11  # block_g <= 2048
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_SCALE = float(1 << 18)  # score quantum 2^-18; (4 * 2^18) << 11 < 2^31
+
+
 def _topk_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref, topv, topi, *, k: int, tg: int):
     j = pl.program_id(1)
     ng = pl.num_programs(1)
@@ -57,12 +74,27 @@ def _topk_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref, topv, topi, *, k
         topi[:] = jnp.zeros_like(topi)
 
     scores = jnp.dot(q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32)  # [TB, TG]
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tg
-    scores = jnp.where(col < count_ref[0], scores, _NEG)
+    local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    valid = (local + j * tg) < count_ref[0]
 
-    # Merge tile scores into the running top-k: k rounds of max + mask-out.
-    vals = jnp.concatenate([topv[:, :k], scores], axis=1)  # [TB, k+TG]
-    idxs = jnp.concatenate([topi[:, :k], col], axis=1)
+    # Pack; masked lanes get score-bits 0 (below any valid score's 2.1 shift).
+    v = jnp.where(valid, jnp.maximum(scores, -1.9) + 2.0, 0.0)
+    packed = ((v * _SCALE).astype(jnp.int32) << _IDX_BITS) | (_IDX_MASK - local)
+
+    # k single-max rounds extract the tile's top-k (descending, _NEG-padded
+    # once the valid lanes run out). Packed values are unique per lane, so
+    # the == mask retires exactly the winner each round.
+    wv, wi = [], []
+    for _ in range(k):
+        m = jnp.max(packed, axis=1)  # [TB]
+        packed = jnp.where(packed == m[:, None], -1, packed)
+        sb = m >> _IDX_BITS
+        wv.append(jnp.where(sb == 0, _NEG, sb.astype(jnp.float32) / _SCALE - 2.0))
+        wi.append(j * tg + (_IDX_MASK - (m & _IDX_MASK)))
+
+    # Merge the k tile winners with the carried top-k: tiny [TB, 2k] walk.
+    vals = jnp.concatenate([topv[:, :k], jnp.stack(wv, axis=1)], axis=1)
+    idxs = jnp.concatenate([topi[:, :k], jnp.stack(wi, axis=1)], axis=1)
     sel_cols = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
     new_v, new_i = [], []
     for _ in range(k):
@@ -87,8 +119,8 @@ def gallery_topk_pallas(
     gallery: jnp.ndarray,  # [G, D], G multiple of block_g (pad the gallery buffer)
     count: jnp.ndarray | int,  # valid prefix length
     k: int = 5,
-    block_b: int = 128,
-    block_g: int = 512,
+    block_b: int = 512,
+    block_g: int = 2048,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, d = queries.shape
@@ -102,6 +134,7 @@ def gallery_topk_pallas(
         queries = jnp.pad(queries, ((0, bp - b), (0, 0)))
     bg = min(block_g, g)
     assert g % bg == 0, f"gallery capacity {g} must be a multiple of block_g {bg}"
+    assert bg <= (1 << _IDX_BITS), f"block_g {bg} exceeds the packed index range"
     count = jnp.asarray(count, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
