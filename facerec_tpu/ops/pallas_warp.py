@@ -1,18 +1,34 @@
-"""Pallas 3-shear rotation: the whole shear chain on a VMEM-resident patch.
+"""Pallas 2-shear rotation: the whole shear chain on a VMEM-resident patch.
 
 Why: the XLA shear chain (ops/warp_fast.rotate_patches) is HBM-bound — every
 masked slice-add tap streams the full [N, P, P, C] patch tensor from HBM, so
-the 3 passes x (slots + fine taps) touch ~3.5 GB at serving shapes
-(256 x 208^2 x 3 bf16), 4.0 ms at the v5e roofline — 30% of the entire serve
-step. This kernel loads each patch into VMEM ONCE, runs all three two-level
-shear passes from VMEM, and writes only the center-cropped output: HBM
-traffic drops to read-patch + write-crop (~105 MB), leaving pure VPU work.
+the passes x (slots + fine taps) touch gigabytes at serving shapes
+(256 x 208^2 x 3 bf16) — measured 4+ ms at the v5e roofline, ~30% of the
+entire serve step. This kernel loads each patch into VMEM ONCE, runs both
+two-level shear passes from VMEM, and writes only the center-cropped output:
+HBM traffic drops to read-patch + write-crop (~105 MB), leaving pure VPU
+work.
 
-The math is IDENTICAL to rotate_patches (same 3-shear decomposition, same
-two-level coarse/fine taps, bf16 accumulation): stage-1/stage-2 tap weights
-are precomputed per line on the host side of the jit as one-hot / bilinear
-weight matrices, so the kernel is nothing but static-slice weighted sums —
-no floor/compare/iota inside, which keeps Mosaic lowering trivial.
+The math is IDENTICAL to rotate_patches (same LDU 2-shear decomposition,
+same two-level coarse/fine taps, bf16 accumulation): stage-1/stage-2 tap
+weights are precomputed per line on the host side of the jit as one-hot /
+bilinear weight matrices, so the kernel is nothing but static-slice weighted
+sums — no floor/compare/iota inside, which keeps Mosaic lowering trivial.
+
+Decomposition (see warp_fast._shear_params): the rotation sampling map
+R = [[c,-s],[s,c]] about the rotation center factors as
+R = Diag(c, 1/c) . ShY(s*c) . ShX(-s/c) in pass order; Diag folds into the
+stage-A crop matmuls, so this kernel runs only ShY then ShX. Composition
+check (passes applied image-chronologically compose left-to-right on
+sampling coordinates; offsets d from the patch center, e = rc - cp,
+t = (I-R)e):
+  ShX: u = (dx - (s/c) dy + tx/c, dy)
+  ShY: v = (u_x, dy + (s c) u_x + (c ty - s tx))
+  D:   w = (c v_x, v_y / c)
+  w_x = c dx - s dy + tx;  w_y = s dx + c dy + ty          (= R d + t)
+vs the classic 3-shear ShX(-tan(phi/2)).ShY(sin phi).ShX(-tan(phi/2)): one
+full-width x pass and one interpolation stage fewer (~30% less VPU work at
+serve shapes, slightly sharper output).
 
 Layout: channels stay interleaved in the lane dimension ([P, P*C]); a shift
 of k pixels along x is a static slice at k*C lanes, and x-pass weights vary
@@ -65,72 +81,55 @@ def _line_weights(slope, const, p: int, k_lo: int, k_hi: int):
     return onehot, fine
 
 
-def _rotate_kernel(x_ref, w1c_ref, w1f_ref, w2c_ref, w2f_ref, w3c_ref, w3f_ref,
+def _rotate_kernel(x_ref, wyc_ref, wyf_ref, wxc_ref, wxf_ref,
                    out_ref, padx, padyb, *, p: int, e: int, c: int,
                    bx: tuple, by: tuple):
     """One patch per grid step; everything below happens in VMEM.
 
-    Crop-aware: only the first shear computes the full [P, P*C] — the y pass
-    produces just the E output rows (+COARSE+1 halo) the final pass reads,
-    and the final x pass produces just the E*C cropped lanes. Scratch zeroing
-    touches only the halo strips (the center is overwritten) — the original
-    full-buffer zero + full-size passes 2/3 cost ~35% more VPU work and
-    writes for values the center crop then discarded."""
+    Crop-aware: the y pass reads the raw patch and produces just the E
+    output rows (+COARSE+1 fine halo) the final x pass needs, and the x pass
+    produces just the E*C cropped lanes. Scratch zeroing touches only the
+    halo strips (the center is overwritten)."""
     cx_lo, cx_hi, px_lo, _ = bx
     cy_lo, cy_hi, py_lo, _ = by
-    w1x = p + COARSE + 1  # stage-1 output width (pixels) for the full x pass
     dt = x_ref.dtype
     off = (p - e) // 2
     padx_w = padx.shape[1] // c
     pady_h = padyb.shape[0]
 
-    def load_padx(x, rows):
-        # halo-only zeroing; center columns are overwritten with x
-        if px_lo:
-            padx[:rows, : px_lo * c] = jnp.zeros((rows, px_lo * c), dt)
-        hi = padx_w - px_lo - p
-        if hi:
-            padx[:rows, (px_lo + p) * c:] = jnp.zeros((rows, hi * c), dt)
-        padx[:rows, px_lo * c:(px_lo + p) * c] = x
-
-    # ---- pass 1: full x shear (the y pass mixes every row) ----------------
-    load_padx(x_ref[0], p)
-    out1 = jnp.zeros((p, w1x * c), dt)
-    for si in range(cx_hi - cx_lo + 1):
-        o = ((cx_lo + si) * COARSE + px_lo) * c
-        out1 = out1 + w1c_ref[0][:, si:si + 1].astype(dt) * padx[:p, o:o + w1x * c]
-    x = jnp.zeros((p, p * c), dt)
-    for k in range(COARSE + 1):
-        x = x + w1f_ref[0][:, k:k + 1].astype(dt) * out1[:, k * c:(k + p) * c]
-
-    # ---- pass 2: y shear, restricted to rows [off, off+e) + fine halo -----
+    # ---- pass 1: y shear on the raw patch -> the E kept rows --------------
     if py_lo:
         padyb[:py_lo, :] = jnp.zeros((py_lo, p * c), dt)
     hi = pady_h - py_lo - p
     if hi:
         padyb[py_lo + p:, :] = jnp.zeros((hi, p * c), dt)
-    padyb[py_lo:py_lo + p, :] = x
-    w2h = e + COARSE + 1  # rows of the stage-1 y output the fine taps read
-    out1 = jnp.zeros((w2h, p * c), dt)
+    padyb[py_lo:py_lo + p, :] = x_ref[0]
+    wyh = e + COARSE + 1  # rows of the coarse y output the fine taps read
+    out1 = jnp.zeros((wyh, p * c), dt)
     for si in range(cy_hi - cy_lo + 1):
         o = (cy_lo + si) * COARSE + py_lo + off
-        out1 = out1 + w2c_ref[0, si:si + 1, :].astype(dt) * padyb[o:o + w2h, :]
+        out1 = out1 + wyc_ref[0, si:si + 1, :].astype(dt) * padyb[o:o + wyh, :]
     x = jnp.zeros((e, p * c), dt)
     for k in range(COARSE + 1):
-        x = x + w2f_ref[0, k:k + 1, :].astype(dt) * out1[k:k + e, :]
+        x = x + wyf_ref[0, k:k + 1, :].astype(dt) * out1[k:k + e, :]
 
-    # ---- pass 3: x shear on the E kept rows, producing the E*C crop -------
-    load_padx(x, e)
-    w3x = e + COARSE + 1
-    out1 = jnp.zeros((e, w3x * c), dt)
-    wc3 = w3c_ref[0][off:off + e]
-    wf3 = w3f_ref[0][off:off + e]
+    # ---- pass 2: x shear on the E kept rows, producing the E*C crop -------
+    if px_lo:
+        padx[:e, : px_lo * c] = jnp.zeros((e, px_lo * c), dt)
+    hi = padx_w - px_lo - p
+    if hi:
+        padx[:e, (px_lo + p) * c:] = jnp.zeros((e, hi * c), dt)
+    padx[:e, px_lo * c:(px_lo + p) * c] = x
+    wxx = e + COARSE + 1
+    out1 = jnp.zeros((e, wxx * c), dt)
+    wcx = wxc_ref[0][off:off + e]
+    wfx = wxf_ref[0][off:off + e]
     for si in range(cx_hi - cx_lo + 1):
         o = ((cx_lo + si) * COARSE + px_lo + off) * c
-        out1 = out1 + wc3[:, si:si + 1].astype(dt) * padx[:e, o:o + w3x * c]
+        out1 = out1 + wcx[:, si:si + 1].astype(dt) * padx[:e, o:o + wxx * c]
     out = jnp.zeros((e, e * c), dt)
     for k in range(COARSE + 1):
-        out = out + wf3[:, k:k + 1].astype(dt) * out1[:, k * c:(k + e) * c]
+        out = out + wfx[:, k:k + 1].astype(dt) * out1[:, k * c:(k + e) * c]
     out_ref[0] = out
 
 
@@ -139,39 +138,27 @@ def rotate_patches_pallas(patches: jnp.ndarray, angles: jnp.ndarray,
                           centers: jnp.ndarray, out_size: int,
                           max_angle_deg: float = 15.0,
                           interpret: bool = False) -> jnp.ndarray:
-    """Drop-in Pallas counterpart of warp_fast.rotate_patches.
+    """Drop-in Pallas counterpart of warp_fast.rotate_patches (expects the
+    same D-prescaled patches from warp_fast._align_prep).
 
     patches [N, P, P, C], angles [N], centers [N, 2] -> [N, out, out, C].
     """
+    from facerec_tpu.ops.warp_fast import _shear_params
+
     n, p = patches.shape[0], patches.shape[1]
     ch = patches.shape[3]
     e = out_size
     max_rad = math.radians(max_angle_deg)
     phi = jnp.clip(angles, -max_rad, max_rad)
-    a = -jnp.tan(phi / 2.0)
-    b = jnp.sin(phi)
-    cosp, sinp = jnp.cos(phi), jnp.sin(phi)
-    cp = (p - 1) / 2.0
-    cap = 0.1 * p
-    rcx = jnp.clip(centers[:, 0] - cp, -cap, cap)
-    rcy = jnp.clip(centers[:, 1] - cp, -cap, cap)
-    tx = (1 - cosp) * rcx + sinp * rcy
-    ty = -sinp * rcx + (1 - cosp) * rcy
-    c2 = ty
-    c1 = tx - a * ty
-    amax = math.tan(max_rad / 2.0)
-    bmax = math.sin(max_rad)
-    slack = (bmax + (1 - math.cos(max_rad))) * cap
-    kx = int(math.ceil(amax * p / 2 + slack * (1 + amax))) + 1
-    ky = int(math.ceil(bmax * p / 2 + slack)) + 1
+    slope_y, const_y, slope_x, const_x, ky, kx = _shear_params(
+        phi, centers, p, max_rad)
 
-    w1c, w1f = _line_weights(a, c1, p, -kx, kx)
-    w2c, w2f = _line_weights(b, c2, p, -ky, ky)
-    w3c, w3f = _line_weights(a, jnp.zeros_like(c1), p, -kx, kx)
+    wyc, wyf = _line_weights(slope_y, const_y, p, -ky, ky)
+    wxc, wxf = _line_weights(slope_x, const_x, p, -kx, kx)
     # y-pass weights vary per column: expand pixel -> interleaved lanes and
     # transpose to [N, S, P*C] so the kernel reads [1, PC] rows per slot
-    w2c = jnp.repeat(jnp.swapaxes(w2c, 1, 2), ch, axis=-1)  # [N, S, P*C]
-    w2f = jnp.repeat(jnp.swapaxes(w2f, 1, 2), ch, axis=-1)
+    wyc = jnp.repeat(jnp.swapaxes(wyc, 1, 2), ch, axis=-1)  # [N, S, P*C]
+    wyf = jnp.repeat(jnp.swapaxes(wyf, 1, 2), ch, axis=-1)
 
     bx = _pass_bounds(-kx, kx)
     by = _pass_bounds(-ky, ky)
@@ -188,8 +175,6 @@ def rotate_patches_pallas(patches: jnp.ndarray, angles: jnp.ndarray,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, p, p * ch), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, p, sx), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, p, COARSE + 1), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, sy, p * ch), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, COARSE + 1, p * ch), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, p, sx), lambda i: (i, 0, 0)),
@@ -198,14 +183,14 @@ def rotate_patches_pallas(patches: jnp.ndarray, angles: jnp.ndarray,
         out_specs=pl.BlockSpec((1, e, e * ch), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, e, e * ch), dt),
         scratch_shapes=[
-            pltpu.VMEM((p, padx_w * ch), dt),
+            pltpu.VMEM((e, padx_w * ch), dt),
             pltpu.VMEM((pady_h, p * ch), dt),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * p * p * ch * (2 * (sx + COARSE + 1) + sy + COARSE + 1),
+            flops=2 * n * e * ch * (p * (sy + COARSE + 1) + e * (sx + COARSE + 1)),
             bytes_accessed=n * (p * p * ch + e * e * ch) * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(flat, w1c, w1f, w2c, w2f, w3c, w3f)
+    )(flat, wyc, wyf, wxc, wxf)
     return out.reshape(n, e, e, ch).astype(patches.dtype)
