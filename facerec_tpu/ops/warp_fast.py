@@ -227,8 +227,12 @@ def _align_prep(image: jnp.ndarray, boxes: jnp.ndarray, landmarks: jnp.ndarray,
 
     # fold Diag(c, 1/c) about the patch center cp=(P-1)/2 into the box:
     # sample pos x1 + sx*(cp + c*(q - cp)) == x1' + (sx*c)*q with
-    # x1' = x1 + sx*cp*(1-c); crop_resize_matmul derives sx from (x2-x1)/P,
-    # so x2' = x1' + c*(x2-x1) (and y analogously with 1/c).
+    # x1' = x1 + sx*cp*(1-c); crop_resize_matmul derives sx from
+    # max(x2-x1, 1.0)/P (clamped so degenerate near-1px folded boxes don't
+    # divide to zero) — for such boxes the x scale clamps while y (expanded
+    # by 1/cos) does not, so the fold is not exactly Diag(c, 1/c) there;
+    # harmless, only garbage/invalid slots hit the clamp. Otherwise
+    # x2' = x1' + c*(x2-x1) (and y analogously with 1/c).
     max_rad = math.radians(max_angle_deg)
     cosp = jnp.cos(jnp.clip(angle, -max_rad, max_rad))
     cp = (p_size - 1) / 2.0

@@ -269,8 +269,9 @@ def test_fast_align_cosine_drift_envelope():
 
 def test_pallas_rotate_matches_xla_oracle():
     """The VMEM-resident pallas shear kernel (ops/pallas_warp.py) must
-    reproduce the XLA shear chain (same 3-shear two-level math) to bf16
-    rounding — checked in interpreter mode on CPU."""
+    reproduce the XLA shear chain (same 2-shear LDU two-level math, diagonal
+    folded into the crop) to bf16 rounding — checked in interpreter mode on
+    CPU."""
     from facerec_tpu.ops.pallas_warp import rotate_patches_pallas
     from facerec_tpu.ops.warp_fast import rotate_patches
 
