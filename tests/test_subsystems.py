@@ -4,6 +4,7 @@ downloader reorganization logic, preprocessing."""
 
 import json
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -212,6 +213,31 @@ def test_gallery_add_many_matches_add():
     assert bulk.add_many([], np.zeros((0, 16))) == []
 
 
+def test_gallery_add_many_device_matches_host():
+    """Device-resident bulk enrollment (the 1M-gallery path and the natural
+    sink for the serve pipeline's own embed output) must produce the same
+    gallery as the host add_many path."""
+    from facerec_tpu.serve.gallery import GalleryStore
+
+    rng = np.random.default_rng(4)
+    embs = rng.normal(size=(5, 16)).astype(np.float32)
+    names = [f"p{i}" for i in range(5)]
+
+    host = GalleryStore(capacity=8, dim=16)
+    host.add_many(names, embs)
+    dev = GalleryStore(capacity=8, dim=16)
+    idx = dev.add_many_device(names, jnp.asarray(embs))
+
+    assert idx == list(range(5)) and dev.names == host.names
+    np.testing.assert_allclose(np.asarray(dev.embeddings[:5]),
+                               np.asarray(host.embeddings[:5]), atol=1e-6)
+    with pytest.raises(ValueError):
+        dev.add_many_device(["x", "y", "z", "w"], jnp.ones((4, 16)))  # over capacity
+    with pytest.raises(ValueError):
+        dev.add_many_device(["x"], jnp.ones((1, 4)))  # wrong dim
+    assert dev.add_many_device([], jnp.zeros((0, 16))) == []
+
+
 # ---------------------------------------------------------------------- serve pipeline
 @pytest.fixture(scope="module")
 def tiny_pipeline():
@@ -263,6 +289,61 @@ def test_pipeline_uint8_ingestion_bit_equal(tiny_pipeline):
     np.testing.assert_array_equal(np.asarray(r8.boxes), np.asarray(rf.boxes))
     np.testing.assert_array_equal(np.asarray(r8.probs), np.asarray(rf.probs))
     np.testing.assert_array_equal(np.asarray(r8.embeddings), np.asarray(rf.embeddings))
+
+
+def test_facenet_weights_drive_full_serve_pipeline(tmp_path, monkeypatch):
+    """The demo's documented pretrained path (serve/app.py FACEREC_FACENET_WEIGHTS
+    branch, reference app.py:274-286 InceptionResnetV1('vggface2')) exercised
+    END TO END: a real torch ``.pt`` state dict (full-depth facenet-pytorch
+    layout from tools/torch_replicas.py) is converted and drives
+    detect→align→embed→match through build_default_pipeline, with
+    self-re-identification on a rendered synthetic face (round-4 VERDICT #8)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from torch_replicas import TorchInceptionResnetV1, randomize_bn_stats
+
+    from facerec_tpu.data.synthetic import _identity_params, render_face_photo
+    from facerec_tpu.serve.app import build_default_pipeline
+
+    torch.manual_seed(11)
+    tm = TorchInceptionResnetV1().eval()  # full (5, 10, 5) facenet-pytorch depth
+    randomize_bn_stats(tm, 3)
+    wpath = tmp_path / "facenet_vggface2.pt"
+    torch.save(tm.state_dict(), wpath)
+    monkeypatch.setenv("FACEREC_FACENET_WEIGHTS", str(wpath))
+
+    cfg = ServeConfig(max_faces=2, gallery_capacity=16, top_k=3, embed_size=160,
+                      detection_threshold=0.5, recognition_threshold=0.35)
+    pipe = build_default_pipeline(frame_hw=(192, 192), config=cfg)
+
+    # one rendered photo-style face per frame (the domain the committed
+    # detector weights train on)
+    rng = np.random.default_rng(6)
+    frames = rng.uniform(0, 60, size=(2, 192, 192, 3)).astype(np.float32)
+    for b in range(2):
+        p = _identity_params(rng, skin_lum_range=(0.5, 0.9))
+        face, alpha = render_face_photo(p, 112, jitter_rng=rng, rot_deg=3.0)
+        a = alpha[..., None]
+        frames[b, 30:142, 40:152] = a * face * 255.0 + (1 - a) * frames[b, 30:142, 40:152]
+
+    r = pipe.process(frames)
+    assert r.embeddings.shape == (2, 2, 512)
+    assert r.match_indices.shape == (2, 2, 3)
+    emb = np.asarray(r.embeddings, np.float32)
+    valid = np.asarray(r.valid)
+    assert valid.any(), "trained detector found no rendered face"
+    b, s = map(int, np.argwhere(valid)[0])
+    # facenet embeddings are L2-normalized by contract
+    np.testing.assert_allclose(np.linalg.norm(emb[b, s]), 1.0, atol=2e-2)
+
+    # self-re-identification: enroll the detected face's embedding, re-run the
+    # same frame, and the top-1 match must be that identity at ~zero distance
+    pipe.gallery.add("alice", emb[b, s])
+    faces = pipe.identify(frames[b : b + 1])[0]
+    assert any(f["name"] == "alice" and f["distance"] < 0.1 for f in faces), faces
 
 
 def test_face_tracker():
