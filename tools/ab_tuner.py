@@ -78,7 +78,11 @@ def surface_ab(n_trials: int = 24, n_seeds: int = 40) -> None:
                       "delta_se": round(float(d.std() / np.sqrt(len(d))), 4)}))
 
 
-def real_ab(n_trials: int = 16) -> None:
+def real_ab(n_trials: int = 16, n_seeds: int = 5) -> None:
+    """Multi-seed real-objective A/B (round-4 VERDICT #7): the REAL training
+    objective (4-epoch arcface on a synthetic 6-class set), pruning off, same
+    seed list for both arms; reports per-seed bests and the paired
+    delta mean +- SE that docs/TUNER.md records."""
     import shutil
 
     from facerec_tpu.config import TrainConfig, TuningConfig
@@ -90,18 +94,30 @@ def real_ab(n_trials: int = 16) -> None:
         write_synthetic_imagefolder(ds, num_classes=6, per_class=12, size=64, seed=7)
     base = TrainConfig(model_type="arcface", image_size=64, epochs=4,
                        early_stopping=False, checkpoint_every=0)
-    for sampler in ("tpe-lite", "random"):
-        outd = Path(f"/tmp/abtuner/{sampler}")
-        shutil.rmtree(outd, ignore_errors=True)
-        t = TuningConfig(model_type="arcface", n_trials=n_trials, epochs_per_trial=4,
-                         seed=11, study_name=f"ab_{sampler}", sampler=sampler,
-                         pruning=False)
-        res = run_hyperparameter_tuning(t, ds, base_config=base, output_dir=outd)
-        vals = [tr["value"] for tr in res["trials"] if tr.get("value") is not None]
-        best_so_far = list(np.maximum.accumulate(vals)) if vals else []
-        print(json.dumps({"mode": "real", "sampler": sampler,
-                          "best": res.get("best_value"),
-                          "best_so_far": [round(float(v), 4) for v in best_so_far]}))
+    bests: dict[str, list[float]] = {"tpe-lite": [], "random": []}
+    for s in range(n_seeds):
+        for sampler in ("tpe-lite", "random"):
+            outd = Path(f"/tmp/abtuner/{sampler}_{s}")
+            shutil.rmtree(outd, ignore_errors=True)
+            t = TuningConfig(model_type="arcface", n_trials=n_trials,
+                             epochs_per_trial=4, seed=11 + s,
+                             study_name=f"ab_{sampler}_{s}", sampler=sampler,
+                             pruning=False)
+            res = run_hyperparameter_tuning(t, ds, base_config=base, output_dir=outd)
+            vals = [tr["value"] for tr in res["trials"] if tr.get("value") is not None]
+            best_so_far = list(np.maximum.accumulate(vals)) if vals else []
+            bests[sampler].append(float(res.get("best_value") or 0.0))
+            print(json.dumps({"mode": "real", "seed": 11 + s, "sampler": sampler,
+                              "best": res.get("best_value"),
+                              "best_so_far": [round(float(v), 4) for v in best_so_far]}))
+    d = np.asarray(bests["tpe-lite"]) - np.asarray(bests["random"])
+    print(json.dumps({
+        "mode": "real", "n_seeds": n_seeds, "n_trials": n_trials,
+        "tpe_mean": round(float(np.mean(bests["tpe-lite"])), 4),
+        "random_mean": round(float(np.mean(bests["random"])), 4),
+        "delta_mean": round(float(d.mean()), 4),
+        "delta_se": round(float(d.std(ddof=1) / np.sqrt(len(d))), 4) if len(d) > 1 else None,
+    }))
 
 
 if __name__ == "__main__":
