@@ -115,13 +115,26 @@ def main() -> None:
 
     pipe = FacePipeline(cfg, frame_hw, detector, det_params, embed_fn, embed_dim=512,
                         embed_variables=evars)
+    # Frames render FIRST from rng(0) so the frame set (and hence the
+    # detected-fill columns) is IDENTICAL across gallery sizes and matches
+    # tools/diagnose_dark.face_frames_with_gt(rng(0)) bit-for-bit — the
+    # old order drew gallery embeddings first, so every BENCH_GALLERY value
+    # benchmarked a different set of rendered faces.
     rng = np.random.default_rng(0)
-    # populated gallery (half capacity) — bulk enrollment is ONE upload
-    n_ids = gallery_cap // 2
-    pipe.gallery.add_many([f"id_{i}" for i in range(n_ids)],
-                          rng.normal(size=(n_ids, 512)).astype(np.float32))
-
     frames = _face_frames(batch, frame_hw, cfg.max_faces, rng)
+
+    # populated gallery (half capacity) — bulk enrollment is ONE upload; at
+    # production scale (>=65k ids) generate the synthetic identities ON
+    # DEVICE (add_many_device): a 524,288 x 512 f32 host block is a 1 GB
+    # upload (~minutes through the remote tunnel) vs milliseconds of device
+    # RNG, and enrollment happens before timing either way.
+    n_ids = gallery_cap // 2
+    names = [f"id_{i}" for i in range(n_ids)]
+    if n_ids > 8192:
+        pipe.gallery.add_many_device(
+            names, jax.random.normal(jax.random.key(5), (n_ids, 512), jnp.float32))
+    else:
+        pipe.gallery.add_many(names, rng.normal(size=(n_ids, 512)).astype(np.float32))
     t0 = time.time()
     # The throughput metric counts B*max_faces slots; assert the trained
     # detector actually FINDS the rendered faces so the number is honest
@@ -159,6 +172,10 @@ def main() -> None:
         "detected_expected": expected,
         "detected_ok": bool(found >= bar * expected),
         "detected_p090": int(found_090),
+        # gate the demo operating point too (reference app.py:18 DET=0.9):
+        # without this, an O-Net score-calibration regression that drops
+        # true faces below 0.9 would not flip any flag (round-4 VERDICT #3)
+        "detected_p090_ok": bool(found_090 >= bar * expected),
     }
     if transfer is not None:
         out["transfer_inclusive_faces_per_sec"] = round(transfer["faces_per_sec"], 1)

@@ -263,11 +263,12 @@ class ServeConfig(_DictMixin):
     gallery_capacity: int = 1024  # padded, power-of-two for static shapes
     top_k: int = 5
     max_faces: int = 16  # static per-frame face capacity
-    # Device-resident gallery dtype. The match kernel is HBM-bandwidth-bound
-    # at production scale (131k x 512 f32 = one 256 MB sweep/batch = 2.09 ms);
-    # bf16 halves the sweep. Products stay exact into the f32 MXU accumulator
-    # so only the storage rounding (~1e-3 on unit cosines) is lost — far from
-    # the REC_THRESH=1.0 operating point. Set "float32" to opt out.
+    # Device-resident gallery dtype. bf16 halves the gallery's HBM footprint
+    # (1M x 512 = 1 GB) and what the match kernel's pack pass touches; the
+    # kernel itself is merge-compute-bound at scale, not HBM-bound
+    # (docs/MATCHER.md roofline). Products stay exact into the f32 MXU
+    # accumulator so only the storage rounding (~1e-3 on unit cosines) is
+    # lost — far from the REC_THRESH=1.0 operating point. "float32" opts out.
     gallery_dtype: str = "bfloat16"
 
 

@@ -271,6 +271,7 @@ class MTCNN:
         rnet_nms_iou: float = 0.7,
         lowlight_norm: bool = True,
         cross_scale_nms_mode: str = "dupmin",
+        pyramid_source: str = "frame",
     ):
         """``coarse_pnet_threshold``: P-Net validity threshold for COARSE
         pyramid levels (proposal side >= half the frame — full-face
@@ -395,6 +396,17 @@ class MTCNN:
         self.max_faces = max_faces
         self.k_pnet = k_pnet
         self.k_rnet = k_rnet
+        # "frame": every pyramid level resamples the full-resolution frame
+        # (classic MTCNN / facenet-pytorch behavior — each of the ~9 resizes
+        # re-reads the whole [B, H, W, 3] tensor from HBM). "base": levels
+        # below the largest resample from LEVEL 0 instead — one bounded extra
+        # bilinear stage per level, but the re-reads shrink from the frame to
+        # the (scale0^2)-sized base, cutting the pyramid stage's HBM traffic
+        # ~3x at serve shapes. Detection-accuracy impact must be A/B'd per
+        # weights (tools/ab_pipeline.py pyramid_base pyramid_frame).
+        if pyramid_source not in ("frame", "base"):
+            raise ValueError(f"pyramid_source must be frame/base, got {pyramid_source!r}")
+        self.pyramid_source = pyramid_source
         self.scales = pyramid_scales(*image_hw, min_face_size, factor)
         self.dtype = dtype
         self.pnet = PNet(dtype=dtype)
@@ -489,11 +501,15 @@ class MTCNN:
         # ---- stage 1: P-Net over the pyramid --------------------------------
         all_boxes, all_scores, all_valid = [], [], []
         coarse_side = 0.5 * min(h, w)  # same cut as the stratified NMS below
+        base = None  # level 0, the resample source when pyramid_source="base"
         for scale in self.scales:
             p_thr = (self.coarse_pnet_threshold if 12.0 / scale >= coarse_side
                      else self.thresholds[0])
             sh, sw = max(int(math.ceil(h * scale)), 12), max(int(math.ceil(w * scale)), 12)
-            level = resize_bilinear(xn, (sh, sw))
+            src = base if (self.pyramid_source == "base" and base is not None) else xn
+            level = resize_bilinear(src, (sh, sw))
+            if base is None:
+                base = level
             prob, reg = self.pnet.apply({"params": params["pnet"]}, level)  # [B,h',w'], [B,h',w',4]
             bh, bw = prob.shape[1], prob.shape[2]
             k = min(self.k_pnet, bh * bw)

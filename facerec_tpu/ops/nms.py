@@ -54,7 +54,8 @@ def overlap_matrix(boxes: jnp.ndarray, mode: str = "union") -> jnp.ndarray:
     return inter / jnp.maximum(denom, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "mode", "max_out"))
+@functools.partial(jax.jit,
+                   static_argnames=("threshold", "mode", "max_out", "unroll"))
 def nms(
     boxes: jnp.ndarray,  # [N, 4] x1y1x2y2
     scores: jnp.ndarray,  # [N]
@@ -62,6 +63,7 @@ def nms(
     threshold: float = 0.5,
     mode: str = "union",
     max_out: int | None = None,
+    unroll: int = 4,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS. Returns (boxes, scores, valid, gather_idx) sorted by score
     with suppressed/invalid entries masked out (and, if max_out, truncated to
@@ -88,14 +90,26 @@ def nms(
         (s0[None, :] == s0[:, None]) & (idx_r[None, :] < idx_r[:, None]))
     sup = (ov > threshold) & dominates & valid[None, :]  # sup[i, j]: j can kill i
 
+    # ``unroll`` rounds per while iteration: rounds past the fixed point are
+    # IDEMPOTENT (new == keep once converged), so running a block of rounds
+    # and checking convergence once per block returns the exact same mask
+    # while cutting the serialized cond evaluations 4x — the stage-1 NMS
+    # stack was latency-bound on those tiny sequential steps, not on the
+    # [N, N] elementwise compute (round-5 tools/profile_detect.py: 1.70 ms
+    # of the 5.83 ms detect stage at batch 48).
+    def one_round(keep):
+        return valid & (s0 > neg) & ~jnp.any(sup & keep[None, :], axis=1)
+
     def cond(carry):
         keep, prev, it = carry
         return (it < 1) | ((it < n) & jnp.any(keep != prev))
 
     def body(carry):
         keep, _, it = carry
-        new = valid & (s0 > neg) & ~jnp.any(sup & keep[None, :], axis=1)
-        return new, keep, it + 1
+        for _ in range(max(unroll - 1, 0)):
+            keep = one_round(keep)
+        new = one_round(keep)
+        return new, keep, it + unroll
 
     keep0 = valid & (s0 > neg)
     keep_fp, _, _ = jax.lax.while_loop(cond, body, (keep0, jnp.zeros_like(keep0), 0))

@@ -235,6 +235,51 @@ def test_input_range_modes_agree():
         MTCNN((64, 64), input_range="0-255", **kw)
 
 
+def test_pyramid_source_base_traces_and_detects():
+    """pyramid_source='base' (levels 1+ resample from level 0, cutting the
+    pyramid's full-frame HBM re-reads) must trace with the same static
+    output shapes and keep level-0 results identical — level 0 itself is
+    always built from the frame, so the largest-scale proposals cannot
+    change; deeper levels differ only by one bounded extra bilinear stage."""
+    rng = np.random.default_rng(9)
+    frames = rng.uniform(0, 255, (2, 96, 96, 3)).astype(np.float32)
+    kw = dict(min_face_size=24, thresholds=(0.3, 0.3, 0.3), max_faces=4,
+              k_pnet=8, k_rnet=8, input_range="255")
+    det_f = MTCNN((96, 96), pyramid_source="frame", **kw)
+    det_b = MTCNN((96, 96), pyramid_source="base", **kw)
+    params = det_f.init(jax.random.key(0))
+    of = det_f.detect(params, jnp.asarray(frames))
+    ob = det_b.detect(params, jnp.asarray(frames))
+    assert ob.boxes.shape == of.boxes.shape and ob.probs.shape == of.probs.shape
+    # resampling semantics: level 0 is bit-identical (always built from the
+    # frame); deeper levels carry one bounded extra bilinear stage, so they
+    # must stay CLOSE to the from-frame levels on smooth content
+    import math
+
+    from facerec_tpu.ops.image import resize_bilinear
+
+    xn = det_f.normalize(jnp.asarray(frames))
+    h, w = 96, 96
+    base = None
+    for i, scale in enumerate(det_f.scales):
+        sh = max(int(math.ceil(h * scale)), 12)
+        sw = max(int(math.ceil(w * scale)), 12)
+        lv_frame = resize_bilinear(xn, (sh, sw))
+        lv_base = lv_frame if base is None else resize_bilinear(base, (sh, sw))
+        if base is None:
+            base = lv_frame  # identical by construction for level 0
+        err = float(jnp.max(jnp.abs(lv_base.astype(jnp.float32)
+                                    - lv_frame.astype(jnp.float32))))
+        # normalized units span ~2.0; uniform-noise frames are the WORST case
+        # for resample compounding and still stay bounded
+        if i == 0:
+            assert err == 0.0
+        else:
+            assert err < 0.7, (i, err)
+    with pytest.raises(ValueError):
+        MTCNN((96, 96), pyramid_source="chained", **kw)
+
+
 def test_rnet_crop_scale_clamps_and_traces():
     """rnet_crop_scale clamps so min-size faces never upsample (min_face 24
     -> full res), and the scaled path traces with static shapes."""

@@ -109,6 +109,26 @@ def test_nms_vs_oracle(mode):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_nms_unroll_invariant():
+    """The block-unrolled fixed point (cond checked every `unroll` rounds)
+    must return bit-identical masks for any unroll — rounds past convergence
+    are idempotent (ops/nms.py)."""
+    rng = np.random.default_rng(11)
+    n = 64
+    centers = rng.uniform(10, 90, (n, 2))
+    sizes = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1).astype(np.float32)
+    scores = rng.uniform(size=n).astype(np.float32)
+    valid = rng.uniform(size=n) > 0.2
+    ref = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+              0.4, "union", 16, unroll=1)
+    for u in (2, 4, 7):
+        got = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+                  0.4, "union", 16, unroll=u)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_nms_respects_valid_mask():
     boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
     scores = jnp.asarray([0.9, 0.8])

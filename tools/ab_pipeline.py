@@ -42,7 +42,8 @@ def build_pipeline(variant: str, cfg, frame_hw, detector, det_params):
 
     if variant == "folded":
         embedder, evars = folded_arcface(num_classes, evars)
-    elif variant in ("unfolded", "lowlight", "nolowlight"):
+    elif variant in ("unfolded", "lowlight", "nolowlight",
+                     "pyramid_frame", "pyramid_base", "nms1", "nms4"):
         embedder = init_model
     else:
         raise SystemExit(f"unknown variant {variant!r}")
@@ -52,6 +53,20 @@ def build_pipeline(variant: str, cfg, frame_hw, detector, det_params):
                          k_pnet=64, k_rnet=32, dtype=jnp.bfloat16,
                          input_range="255",
                          lowlight_norm=(variant == "lowlight"))
+    if variant in ("pyramid_frame", "pyramid_base"):
+        from facerec_tpu.detect.mtcnn import MTCNN
+        detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
+                         k_pnet=64, k_rnet=32, dtype=jnp.bfloat16,
+                         input_range="255",
+                         pyramid_source=variant.removeprefix("pyramid_"))
+    if variant in ("nms1", "nms4"):
+        # fresh detector instance: detect() is jit-cached per MTCNN object,
+        # and the nms unroll is baked at trace time (main() warms each
+        # pipeline inside its patch scope)
+        from facerec_tpu.detect.mtcnn import MTCNN
+        detector = MTCNN(frame_hw, min_face_size=40, max_faces=cfg.max_faces,
+                         k_pnet=64, k_rnet=32, dtype=jnp.bfloat16,
+                         input_range="255")
 
     def embed_fn(variables, x):
         return embedder.apply(variables, x, method="embed")
@@ -87,15 +102,32 @@ def main():
     print(f"backend={jax.default_backend()} batch={args.batch} "
           f"variants={args.variants}")
 
-    pipes = {}
-    for v in args.variants:
-        pipes[v] = build_pipeline(v, cfg, frame_hw, detector, det_params)
-        pipes[v].gallery.add_many([f"id_{i}" for i in range(512)],
-                                  rng.normal(size=(512, 512)).astype(np.float32))
     frames = _face_frames(args.batch, frame_hw, cfg.max_faces, rng)
 
-    for v, p in pipes.items():  # compile everything before any timed round
-        p.benchmark(frames, iters=8)
+    pipes = {}
+    for v in args.variants:
+        import functools
+
+        import facerec_tpu.detect.mtcnn as mtcnn_mod
+
+        from facerec_tpu.ops.nms import nms as nms_fn
+
+        orig_nms = mtcnn_mod.nms
+        if v in ("nms1", "nms4"):
+            mtcnn_mod.nms = functools.partial(nms_fn, unroll=int(v[3:]))
+        try:
+            pipes[v] = build_pipeline(v, cfg, frame_hw, detector, det_params)
+            pipes[v].gallery.add_many([f"id_{i}" for i in range(512)],
+                                      rng.normal(size=(512, 512)).astype(np.float32))
+            # compile + warm INSIDE the patch scope (trace time bakes nms)
+            r = pipes[v].process(frames)
+            probs = np.asarray(jax.device_get(r.probs))
+            print(f"fill {v}: {int((probs >= 0.6).sum())}/"
+                  f"{args.batch * cfg.max_faces} @0.6, "
+                  f"{int((probs >= 0.9).sum())} @0.9")
+            pipes[v].benchmark(frames, iters=8)
+        finally:
+            mtcnn_mod.nms = orig_nms
 
     results = {v: [] for v in args.variants}
     for r in range(args.rounds):

@@ -44,7 +44,7 @@ def main():
     h, w = HW
     print(f"backend={jax.default_backend()} B={B} levels={len(det.scales)} "
           f"k_pnet={det.k_pnet} k_rnet={det.k_rnet} onet_slots="
-          f"{det.max_faces + det.k_large} rnet_crop_scale={det.rnet_crop_scale}")
+          f"{det.rnet_keep + det.k_large} rnet_crop_scale={det.rnet_crop_scale}")
 
     # Prefix probes call the SAME methods detect() composes (normalize /
     # stage1 / rnet_crops / rnet.apply), so the deltas cannot drift from the

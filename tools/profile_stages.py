@@ -111,7 +111,9 @@ def main():
     dt = slope_time(lambda c: embedder.apply(ev, c, method="embed"), crops)
     print(f"embed:   {dt*1e3:7.2f} ms/batch  ({B*F/dt:9.0f} faces/s)")
 
-    gallery = jnp.asarray(rng.normal(size=(G, D)).astype(np.float32))
+    # device-generated gallery: content is irrelevant to the sweep's timing,
+    # and a host-random 1M x 512 f32 block would be a 2 GB tunnel upload
+    gallery = jax.random.normal(jax.random.key(3), (G, D), jnp.float32)
     count = jnp.asarray(G, jnp.int32)
     embs = [jnp.asarray(rng.normal(size=(B * F, D)).astype(np.float32))
             for _ in range(13)]
