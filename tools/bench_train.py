@@ -8,10 +8,16 @@ This measures the REAL training path — facerec_tpu.train.steps.jit_steps
 reference's model scale (ResNet18-class backbone, 160x160, 512-d).
 
 Methodology (CLAUDE.md measurement traps): the train step threads TrainState
-through every call, so a dispatch chain is naturally serialized and no two
-executions ever see identical inputs; batches come from a pool of distinct
-device-resident uploads; the only host materialization is one final scalar;
-per-step time is the slope between a short and a long chain.
+through every call, so no two executions ever see identical inputs; batches
+come from a pool of distinct device-resident uploads; the only host
+materialization is one final scalar; per-step time is the slope between a
+short and a long chain. Round 5: the chain is a lax.scan INSIDE one jit —
+host-chained train_step dispatches carry a non-constant per-dispatch
+overhead through the relay (the ~190-leaf state tree serializes per call)
+that does not cancel in the slope and inflated the step to 23.4 ms; the
+scanned chain measures ~14.5-15 ms (instrumented 2026-08-20, see
+tools/profile_train.py). Each scan executable compiles twice (init-state
+layout, then its own output layout) — warm both before timing.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_train.py
 Env: BENCH_TRAIN_BATCH (default 256), BENCH_TRAIN_MODEL (arcface|siamese|
@@ -20,7 +26,6 @@ baseline, default arcface).
 
 from __future__ import annotations
 
-import itertools
 import json
 import os
 import time
@@ -53,41 +58,34 @@ def make_batches(model_type: str, batch: int, size: int, n_pool: int, mesh):
     return pool
 
 
-def time_train_chain(train_step, state, pool, n_steps):
-    """Seconds for n_steps chained train dispatches (state threads through),
-    ending in ONE host materialization. Returns (seconds, final_state)."""
-    t0 = time.perf_counter()
-    metrics = None
-    for i in range(n_steps):
-        state, metrics = train_step(state, pool[i % len(pool)])
-    float(metrics["loss_sum"])  # the only true barrier through the relay
-    return time.perf_counter() - t0, state
+def make_eval_chain(eval_step, image_key="image"):
+    """Scanned eval chain, one dispatch per timing call (CLAUDE.md trap #8:
+    host-chained dispatches of the ~190-leaf state break the slope; an
+    earlier version also re-created its jit wrapper per chain, putting a
+    retrace inside the timed window). eval_step is stateless, so the scan
+    body is salted by the iteration index — without it the body is
+    loop-invariant and XLA would hoist a single evaluation out of the
+    loop (sub-trap B)."""
+    import functools
 
+    raw = eval_step.__wrapped__ if hasattr(eval_step, "__wrapped__") else eval_step
 
-_EVAL_CURSOR = itertools.count(1)
+    @functools.partial(jax.jit, static_argnames="n")
+    def evals_n(state, batch, n):
+        def body(carry, i):
+            b = dict(batch)
+            b[image_key] = b[image_key] + i.astype(jnp.float32) * 1e-4
+            m = raw(state, b)
+            return carry, m["loss_sum"]
+        _, losses = jax.lax.scan(body, 0, jnp.arange(n))
+        return jnp.sum(losses)
 
+    def chain(state, batch, n):
+        t0 = time.perf_counter()
+        float(evals_n(state, batch, n))
+        return time.perf_counter() - t0
 
-def time_eval_chain(eval_step, state, pool, n_steps, image_key="image"):
-    """Unlike the train chain (state threads through, so inputs are never
-    repeated), eval_step is stateless: without a per-call salt the pool
-    wraps after len(pool) calls and every later call repeats an exact
-    (state, batch) pair — served from the execution cache at ~0 time
-    (CLAUDE.md trap #1). The salt is traced (added in-jit) and the cursor
-    persists across chains so the long chain never replays the short one."""
-
-    @jax.jit
-    def salted(state, batch, salt):
-        b = dict(batch)
-        b[image_key] = b[image_key] + salt * 1e-4
-        return eval_step(state, b)
-
-    t0 = time.perf_counter()
-    metrics = None
-    for _ in range(n_steps):
-        i = next(_EVAL_CURSOR)
-        metrics = salted(state, pool[i % len(pool)], float(i))
-    float(metrics["loss_sum"])
-    return time.perf_counter() - t0
+    return chain
 
 
 def main() -> None:
@@ -111,18 +109,39 @@ def main() -> None:
                           batch_stats=shard_params(state.batch_stats, mesh))
     train_step, eval_step = jit_steps(model, model_type, mesh)
 
+    import functools
+
+    raw_step = train_step.__wrapped__ if hasattr(train_step, "__wrapped__") else train_step
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def steps_n(s, batch, n):
+        def body(carry, _):
+            s2, m = raw_step(carry, batch)
+            return s2, m["loss_sum"]
+        s, losses = jax.lax.scan(body, s, None, length=n)
+        return s, jnp.sum(losses)
+
+    def scan_time(s, batch, n):
+        t0 = time.perf_counter()
+        s, tot = steps_n(s, batch, n)
+        float(tot)
+        return time.perf_counter() - t0, s
+
     t0 = time.time()
-    _, state = time_train_chain(train_step, state, pool, 2)  # compile + warm
+    for w in range(4):  # compile n=4/n=16, then re-warm both on the carry layout
+        _, state = scan_time(state, pool[w % len(pool)], 4 if w % 2 == 0 else 16)
     compile_s = time.time() - t0
 
-    t_short, state = time_train_chain(train_step, state, pool, 4)
-    t_long, state = time_train_chain(train_step, state, pool, 16)
+    t_short, state = scan_time(state, pool[4 % len(pool)], 4)
+    t_long, state = scan_time(state, pool[5 % len(pool)], 16)
     step_s = max((t_long - t_short) / 12, 1e-9)
 
     ekey = "image_a" if model_type == "siamese" else "image"
-    time_eval_chain(eval_step, state, pool, 2, ekey)  # compile + warm
-    e_short = time_eval_chain(eval_step, state, pool, 4, ekey)
-    e_long = time_eval_chain(eval_step, state, pool, 16, ekey)
+    eval_chain = make_eval_chain(eval_step, ekey)
+    for w in (4, 16, 4, 16):  # compile both n, then warm
+        eval_chain(state, pool[w % len(pool)], w)
+    e_short = eval_chain(state, pool[0], 4)
+    e_long = eval_chain(state, pool[1], 16)
     eval_s = max((e_long - e_short) / 12, 1e-9)
 
     out = {

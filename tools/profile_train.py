@@ -24,6 +24,7 @@ Env: BENCH_TRAIN_BATCH (default 256).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -37,7 +38,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools.bench_train import make_batches, time_train_chain  # noqa: E402
+from tools.bench_train import make_batches  # noqa: E402
 from tools.profile_embedder import PEAK_BF16_TFLOPS, unit_flops  # noqa: E402
 from tools.profile_stages import slope_time  # noqa: E402
 
@@ -70,10 +71,43 @@ def main() -> None:
           f"params={n_params/1e6:.1f}M")
 
     # ---- 1. full step (cross-check target) --------------------------------
-    _, state = time_train_chain(train_step, state, pool, 2)  # compile + warm
-    t_s, state = time_train_chain(train_step, state, pool, 4)
-    t_l, state = time_train_chain(train_step, state, pool, 16)
-    full = max((t_l - t_s) / 12, 1e-9)
+    # SCANNED, not host-chained: a host-side dispatch chain of train_step
+    # calls measured 247 ms for 4 steps vs 268 ms for 16 on the relay — the
+    # per-dispatch overhead (~tens of ms, non-constant) swamps the 17 ms of
+    # compute and even drives the slope NEGATIVE-ish (the first run of this
+    # tool printed "full step 0.00 ms"). lax.scan runs the whole chain as ONE
+    # dispatch, so the n=16 vs n=4 slope is pure step compute. Reusing one
+    # batch inside the scan is safe: within a single executable there is no
+    # execution cache, and state (params/opt) changes every iteration.
+    raw_step = train_step.__wrapped__ if hasattr(train_step, "__wrapped__") else train_step
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def steps_n(s, batch, n):
+        def body(carry, _):
+            s2, m = raw_step(carry, batch)
+            return s2, m["loss_sum"]
+        s, losses = jax.lax.scan(body, s, None, length=n)
+        return s, jnp.sum(losses)
+
+    def scan_time(s, batch, n):
+        t0 = time.perf_counter()
+        s, tot = steps_n(s, batch, n)
+        float(tot)
+        return time.perf_counter() - t0, s
+
+    # Each executable compiles TWICE: once against the hand-sharded initial
+    # state's layout and once against the scan-OUTPUT state layout that all
+    # later calls carry (instrumented 2026-08-20: call 3 of this sequence was
+    # a 34 s recompile, which made t_s > t_l and printed "full step 0.00 ms").
+    # Two warm rounds make both executables steady before timing.
+    for w in range(4):
+        _, state = scan_time(state, pool[w], 4 if w % 2 == 0 else 16)
+    fulls = []
+    for r in range(2):
+        t_s, state = scan_time(state, pool[4 + 2 * r], 4)
+        t_l, state = scan_time(state, pool[5 + 2 * r], 16)
+        fulls.append(max((t_l - t_s) / 12, 1e-9))
+    full = float(np.median(fulls))
     fwd_flops = sum(f for _, f in unit_flops(E)) * B
     print(f"full step: {full*1e3:7.2f} ms  ({B/full:7.0f} imgs/s; fwd+bwd conv "
           f"{3*fwd_flops/full/1e12:.1f} TFLOP/s = "
@@ -103,36 +137,51 @@ def main() -> None:
           f"({2*fwd_flops/bwd/1e12:5.1f} TFLOP/s bwd conv, "
           f"{2*fwd_flops/bwd/1e12/PEAK_BF16_TFLOPS*100:.0f}% peak)")
 
-    # ---- optimizer-only: real chain, state threads through ----------------
+    # ---- optimizer-only: scanned chain, state threads through -------------
+    # Host-chained opt_step dispatches measured 2.9-3.7 ms/step here — a
+    # per-dispatch overhead artifact (the state tree is ~190 leaves). The
+    # scanned chain (tools/ab_optflat.py cross-checks it) puts the SAME
+    # production chain at ~0.4 ms ≈ its 7-pass HBM floor. Caveat: grads are
+    # scan-invariant, so XLA may hoist grad-only work (e.g. the global-norm
+    # reduction) out of the loop — treat as the in-situ lower bound; the
+    # full-step sum check keeps it honest.
     grads = jax.jit(lambda p: jax.tree_util.tree_map(
         lambda x: jnp.full_like(x, 1e-4), p))(params)
 
-    @jax.jit
-    def opt_step(s, g):
-        return s.apply_gradients(g)
-
-    @jax.jit
-    def probe(s):
-        return jnp.sum(jax.tree_util.tree_leaves(s.params)[0].astype(jnp.float32))
+    @functools.partial(jax.jit, static_argnames="n")
+    def opt_n(s, g, n):
+        def body(carry, _):
+            return carry.apply_gradients(g), ()
+        s, _ = jax.lax.scan(body, s, None, length=n)
+        return s, jnp.sum(jax.tree_util.tree_leaves(s.params)[0].astype(jnp.float32))
 
     def opt_chain(s, n):
         t0 = time.perf_counter()
-        for _ in range(n):
-            s = opt_step(s, grads)
-        float(probe(s))
+        s, tot = opt_n(s, grads, n)
+        float(tot)
         return time.perf_counter() - t0, s
 
-    _, st2 = opt_chain(state, 2)  # compile + warm
+    st2 = state
+    for w in (4, 16, 4, 16):  # compile both n, then warm the carry layout
+        _, st2 = opt_chain(st2, w)
     t_s, st2 = opt_chain(st2, 4)
     t_l, st2 = opt_chain(st2, 16)
     t_opt = max((t_l - t_s) / 12, 1e-9)
     opt_bytes = 7 * n_params * 4  # read p,m,v,g + write p,m,v (f32)
-    print(f"optimizer: {t_opt*1e3:7.2f} ms  (clip+AdamW; {opt_bytes/1e6:.0f} MB "
-          f"roofline {opt_bytes/HBM_GBPS/1e6:.2f} ms @ {HBM_GBPS:.0f} GB/s -> "
-          f"{opt_bytes/t_opt/1e9:.0f} GB/s effective)")
-    print(f"sum check: fwd+bwd+opt = {(t_vg+t_opt)*1e3:.2f} ms vs full "
-          f"{full*1e3:.2f} ms (residual = metrics/gnorm/nonfinite mask: "
-          f"{(full-t_vg-t_opt)*1e3:+.2f} ms)")
+    if t_opt < 5e-5:
+        # With scan-invariant grads XLA can hoist essentially the whole
+        # update out of the loop and the slope collapses; the honest in-situ
+        # optimizer cost is the full-step residual printed below.
+        print("optimizer:  <slope noise floor with constant grads "
+              "(XLA hoists the update; see tools/ab_optflat.py: ~0.39 ms "
+              "= its 7-pass HBM floor)")
+    else:
+        print(f"optimizer: {t_opt*1e3:7.2f} ms  (clip+AdamW; {opt_bytes/1e6:.0f} MB "
+              f"roofline {opt_bytes/HBM_GBPS/1e6:.2f} ms @ {HBM_GBPS:.0f} GB/s -> "
+              f"{opt_bytes/t_opt/1e9:.0f} GB/s effective)")
+    print(f"full - (fwd+bwd) residual = optimizer+metrics+gnorm in situ: "
+          f"{(full-t_vg)*1e3:+.2f} ms "
+          f"(vs the optimizer's {opt_bytes/HBM_GBPS/1e6:.2f} ms HBM floor)")
 
     # ---- per-unit bwd via train-mode backbone prefixes ---------------------
     backbone = ResNet18(dtype=jnp.bfloat16)
@@ -152,11 +201,20 @@ def main() -> None:
         (loss, _), grads = jax.value_and_grad(cl, has_aux=True)(p)
         return loss, grads
 
-    names = [n for n, _ in unit_flops(E)[:5]]
-    cum_f, cum_b = [], []
-    for u in range(5):
-        cum_f.append(slope_time(lambda x, p, s, u=u: prefix_fwd(x, p, s, u), imgs, bparams, bstats))
-        cum_b.append(slope_time(lambda x, p, s, u=u: prefix_vg(x, p, s, u), imgs, bparams, bstats))
+    # INTERLEAVED rounds with per-prefix medians: a sequential prefix walk
+    # puts minutes of relay drift (1.3-7x on micro-probes, CLAUDE.md) between
+    # prefix k and k+1, which produced negative layer3/4 diffs on the first
+    # run of this tool. Round-robin keeps every consecutive-diff pair within
+    # one drift window.
+    ROUNDS = 3
+    cf = [[] for _ in range(5)]
+    cb = [[] for _ in range(5)]
+    for _ in range(ROUNDS):
+        for u in range(5):
+            cf[u].append(slope_time(lambda x, p, s, u=u: prefix_fwd(x, p, s, u), imgs, bparams, bstats))
+            cb[u].append(slope_time(lambda x, p, s, u=u: prefix_vg(x, p, s, u), imgs, bparams, bstats))
+    cum_f = [float(np.median(v)) for v in cf]
+    cum_b = [float(np.median(v)) for v in cb]
     print("\nper-unit (train-mode backbone prefix diffs):")
     print(f"  {'unit':8s} {'fwd ms':>8s} {'f+b ms':>8s} {'bwd ms':>8s} "
           f"{'bwd TFLOP/s':>12s} {'% peak':>7s}")
