@@ -80,12 +80,15 @@ def main() -> None:
     out = jax.device_get(det.detect(params, jnp.asarray(frames)))
     matched_probs: list[float] = []
     n_gt = 0
+    by_frame: dict[int, list[dict]] = {}
+    for g in gt:  # gt is a flat list of {"b", "f", "box", ...} dicts
+        by_frame.setdefault(int(g["b"]), []).append(g)
     for b in range(B):
         val = np.asarray(out.valid[b], bool)
         boxes = np.asarray(out.boxes[b], np.float32)
         probs = np.asarray(out.probs[b], np.float32)
         used = np.zeros(len(boxes), bool)
-        for g in gt[b]:
+        for g in by_frame.get(b, []):
             n_gt += 1
             ious = iou_matrix(np.asarray(g["box"], np.float32), boxes)
             ious = np.where(val & ~used, ious, 0.0)
