@@ -98,6 +98,14 @@ def real_ab(n_trials: int = 16, n_seeds: int = 5) -> None:
     for s in range(n_seeds):
         for sampler in ("tpe-lite", "random"):
             outd = Path(f"/tmp/abtuner/{sampler}_{s}")
+            done = outd / "results.json"
+            if done.exists():  # resumable across interrupted campaigns
+                res = json.loads(done.read_text())
+                bests[sampler].append(float(res.get("best_value") or 0.0))
+                print(json.dumps({"mode": "real", "seed": 11 + s,
+                                  "sampler": sampler, "resumed": True,
+                                  "best": res.get("best_value")}))
+                continue
             shutil.rmtree(outd, ignore_errors=True)
             t = TuningConfig(model_type="arcface", n_trials=n_trials,
                              epochs_per_trial=4, seed=11 + s,
