@@ -179,12 +179,12 @@ def _pad_slots(bx: jnp.ndarray, sc: jnp.ndarray, vl: jnp.ndarray,
 
 
 def demote_nested(boxes: jnp.ndarray, scores: jnp.ndarray,
-                  valid: jnp.ndarray) -> jnp.ndarray:
+                  valid: jnp.ndarray, part_ratio: float = 1.5) -> jnp.ndarray:
     """Whole-over-part score demotion for the final min-mode NMS.
 
     A detection nested inside a larger valid detection (containment >= 0.8,
-    area ratio >= 1.5) gets its score dropped by 1.0 so the covering box
-    wins the merge. Containment >= 0.8 implies min-overlap >= 0.8 > 0.7 —
+    area ratio >= ``part_ratio``) gets its score dropped by 1.0 so the
+    covering box wins the merge. Containment >= 0.8 implies min-overlap >= 0.8 > 0.7 —
     the pair merges either way; this only flips which one survives. Faces
     do not nest, so the outer box is the face and the inner one a facial
     part (eye/nose/cheek — which synthetic-trained R/O-Nets score HIGHER
@@ -216,7 +216,7 @@ def demote_nested(boxes: jnp.ndarray, scores: jnp.ndarray,
     area = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
         jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)  # [B, N]
     cont = inter / jnp.maximum(area[:, :, None], 1e-12)  # frac of i inside j
-    nested = ((cont >= 0.8) & (area[:, None, :] >= 1.5 * area[:, :, None])
+    nested = ((cont >= 0.8) & (area[:, None, :] >= part_ratio * area[:, :, None])
               & valid[:, None, :])  # [B, i, j]: valid j covers i
     # collage[b, j]: some pair of valid detections nested in j is mutually
     # disjoint. N is a small static slot count (<= rnet_keep + k_large), so
@@ -264,6 +264,7 @@ class MTCNN:
         k_large: int = 4,
         large_rnet_threshold: float = 0.0,
         prefer_whole: bool = True,
+        part_ratio: float = 2.5,
         approx_topk: bool = True,
         input_range: str = "auto",
         rnet_crop_scale: float = 0.6,
@@ -325,11 +326,22 @@ class MTCNN:
 
         ``prefer_whole``: at the final min-mode NMS, a detection nested
         inside a larger valid detection (containment >= 0.8, area ratio
-        >= 1.5) is demoted below it, so the covering face box wins over a
-        facial-part box regardless of O-Net score order. Faces do not nest;
-        the reference's pretrained O-Net achieves this via score order alone
-        (reference app.py:274-286), which synthetic-trained nets do not
-        reproduce on real photos (part 0.92 vs whole 0.70 measured).
+        >= ``part_ratio``) is demoted below it, so the covering face box
+        wins over a facial-part box regardless of O-Net score order. Faces
+        do not nest; the reference's pretrained O-Net achieves this via
+        score order alone (reference app.py:274-286), which
+        synthetic-trained nets do not reproduce on real photos (part 0.92
+        vs whole 0.70 measured). ``part_ratio`` separates true facial-part
+        boxes (measured 2.9-5x smaller in area than their face on the
+        reference gallery) from an oversized duplicate of the SAME face
+        demoting its own tight box (the round-5 bench-loss probe found
+        such pairs at ratio < 2.5 landing the sloppy outer box at IoU
+        0.23-0.29 vs ground truth). Default 2.5, from the same-state TPU
+        A/B (tools/ab_part_ratio.py): 1.5 -> 374/369 of 384 bench GT faces
+        matched at prob>=0.6/0.9, 2.5 -> 375/374 (+5 at the demo operating
+        point), reference-gallery recall and full-face coverage 7/7 at
+        both settings (the classic 1.5 demotes nothing the 2.5 floor
+        keeps: parts are >=2.9x).
 
         ``lowlight_norm``: remap severely underexposed frames (per-frame
         pixel std < 24) to a canonical exposure
@@ -373,6 +385,7 @@ class MTCNN:
         # reference-gallery photo.
         self.cross_scale_nms_mode = cross_scale_nms_mode
         self.prefer_whole = prefer_whole
+        self.part_ratio = part_ratio
         self.approx_topk = approx_topk
         if input_range not in ("auto", "255", "1"):
             raise ValueError(f"input_range must be auto/255/1, got {input_range!r}")
@@ -660,7 +673,8 @@ class MTCNN:
         ly = boxes[..., 1:2] + olmk[..., 5:10] * bht[..., None]
         landmarks = jnp.stack([lx, ly], axis=-1)  # [B, ns, 5, 2]
         boxes = _apply_regression(boxes, oreg)
-        op_eff = demote_nested(boxes, op, valid) if self.prefer_whole else op
+        op_eff = (demote_nested(boxes, op, valid, self.part_ratio)
+                  if self.prefer_whole else op)
         boxes, _, valid, idx = jax.vmap(
             lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "min", mf)
         )(boxes, op_eff, valid)

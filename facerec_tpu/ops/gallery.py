@@ -51,20 +51,25 @@ def gallery_topk_xla(queries: jnp.ndarray, gallery: jnp.ndarray, count: jnp.ndar
 
 
 # Packed (score, lane-index) encoding for the in-kernel top-k merge.
-# Cosine scores are shifted into [0.1, 4), scaled by 2^20 and truncated to
-# int22, then the complemented lane index rides in the low 9 bits — one
-# int32 whose integer order IS (score desc, index asc) order. Each top-k
-# round is then a single max + mask pass instead of the argmax + one-hot
-# gather + sum passes of a value/index pair walk. Returned scores are
-# quantized DOWN by at most 2^-18 (~4e-6) — far below bf16 storage rounding
-# and the REC_THRESH operating point; ties within 2^-18 resolve to the
-# lower index, matching lax.top_k's tie rule.
-_IDX_BITS = 11  # block_g <= 2048
-_IDX_MASK = (1 << _IDX_BITS) - 1
-_SCALE = float(1 << 18)  # score quantum 2^-18; (4 * 2^18) << 11 < 2^31
+# Cosine scores are shifted into [0.1, 4), scaled by 2^(29 - idx_bits) and
+# truncated, then the complemented lane index rides in the low idx_bits —
+# one int32 whose integer order IS (score desc, index asc) order. Each
+# top-k round is then a single max + mask pass instead of the argmax +
+# one-hot gather + sum passes of a value/index pair walk. At the default
+# block_g=2048 (idx_bits=11, scale 2^18) returned scores are quantized
+# DOWN by at most 2^-18 (~4e-6) — far below bf16 storage rounding and the
+# REC_THRESH operating point; ties within one quantum resolve to the lower
+# index, matching lax.top_k's tie rule.
+def _pack_params(tg: int) -> tuple[int, int, float]:
+    idx_bits = max((tg - 1).bit_length(), 1)
+    # (4.0 * scale) << idx_bits == 2^31 exactly; v < 4.0 strictly keeps the
+    # packed value below 2^31 (sign bit clear)
+    return idx_bits, (1 << idx_bits) - 1, float(1 << (29 - idx_bits))
 
 
-def _topk_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref, topv, topi, *, k: int, tg: int):
+def _topk_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref, topv, topi, *, k: int, tg: int,
+                 merge: str = "pair"):
+    _IDX_BITS, _IDX_MASK, _SCALE = _pack_params(tg)
     j = pl.program_id(1)
     ng = pl.num_programs(1)
 
@@ -81,13 +86,36 @@ def _topk_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref, topv, topi, *, k
     v = jnp.where(valid, jnp.maximum(scores, -1.9) + 2.0, 0.0)
     packed = ((v * _SCALE).astype(jnp.int32) << _IDX_BITS) | (_IDX_MASK - local)
 
+    # Pair reduction: fold lane l with lane l + tg/2 into (winner, loser)
+    # half-width arrays — ONE read of the packed tile. The k extraction
+    # rounds then run on the half-width array, with the loser substituted
+    # in place whenever its partner wins (elementwise where, no gathers).
+    # Exact: every element is either in `a` or shadowed by its pair partner
+    # in `a`; a shadowed element can only belong to the top-k if its partner
+    # does too (partner > element >= kth-best), and extraction promotes the
+    # loser the moment the partner is retired, so it is considered before
+    # any later round needs it. Index bits travel inside the packed value,
+    # so decoding is unchanged.
+    if merge == "pair":
+        half = packed.shape[1] // 2
+        lo, hi = packed[:, :half], packed[:, half:]
+        a = jnp.maximum(lo, hi)  # [TB, TG/2] pair winners
+        b = jnp.minimum(lo, hi)  # pair losers, promoted on extraction
+    else:  # "flat": k max+mask rounds over the full-width tile (the r4 kernel)
+        a, b = packed, None
+
     # k single-max rounds extract the tile's top-k (descending, _NEG-padded
     # once the valid lanes run out). Packed values are unique per lane, so
     # the == mask retires exactly the winner each round.
     wv, wi = [], []
     for _ in range(k):
-        m = jnp.max(packed, axis=1)  # [TB]
-        packed = jnp.where(packed == m[:, None], -1, packed)
+        m = jnp.max(a, axis=1)  # [TB]
+        win = a == m[:, None]
+        if merge == "pair":
+            a = jnp.where(win, b, a)
+            b = jnp.where(win, -1, b)
+        else:
+            a = jnp.where(win, -1, a)
         sb = m >> _IDX_BITS
         wv.append(jnp.where(sb == 0, _NEG, sb.astype(jnp.float32) / _SCALE - 2.0))
         wi.append(j * tg + (_IDX_MASK - (m & _IDX_MASK)))
@@ -113,7 +141,7 @@ def _topk_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref, topv, topi, *, k
         out_i_ref[:] = topi[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_b", "block_g", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "block_b", "block_g", "interpret", "merge"))
 def gallery_topk_pallas(
     queries: jnp.ndarray,  # [B, D]
     gallery: jnp.ndarray,  # [G, D], G multiple of block_g (pad the gallery buffer)
@@ -122,6 +150,7 @@ def gallery_topk_pallas(
     block_b: int = 512,
     block_g: int = 2048,
     interpret: bool = False,
+    merge: str = "pair",  # "pair" (half-width extraction) | "flat" (r4 kernel)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, d = queries.shape
     g, dg = gallery.shape
@@ -134,7 +163,11 @@ def gallery_topk_pallas(
         queries = jnp.pad(queries, ((0, bp - b), (0, 0)))
     bg = min(block_g, g)
     assert g % bg == 0, f"gallery capacity {g} must be a multiple of block_g {bg}"
-    assert bg <= (1 << _IDX_BITS), f"block_g {bg} exceeds the packed index range"
+    # idx_bits grows with the tile; the score quantum 2^-(29 - idx_bits)
+    # stays <= 2^-15 (3e-5, still far below bf16 storage rounding) up to
+    # the 16k-lane cap
+    assert bg <= (1 << 14), f"block_g {bg} exceeds the packed index range"
+    assert bg % 2 == 0, f"block_g {bg} must be even (pair-reduced top-k merge)"
     count = jnp.asarray(count, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -161,7 +194,7 @@ def gallery_topk_pallas(
     in_dtype = jnp.bfloat16 if gallery.dtype == jnp.bfloat16 else jnp.float32
     isz = jnp.dtype(in_dtype).itemsize
     out_v, out_i = pl.pallas_call(
-        functools.partial(_topk_kernel, k=k, tg=bg),
+        functools.partial(_topk_kernel, k=k, tg=bg, merge=merge),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bp, kpad), jnp.float32),

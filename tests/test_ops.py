@@ -139,17 +139,30 @@ def test_nms_respects_valid_mask():
 
 
 def test_gallery_topk_pallas_matches_xla():
+    """Both merge variants (pair-reduced extraction — the serve default —
+    and the flat r4 kernel) and both tile widths must match the XLA oracle
+    exactly on indices. The pair variant's shadow-promotion path (two top-k
+    members folded into one lane pair) is forced by planting near-duplicate
+    rows at lane l and l + block_g/2."""
     rng = np.random.default_rng(0)
     q = rng.normal(size=(17, 256)).astype(np.float32)
     g = rng.normal(size=(1024, 256)).astype(np.float32)
+    # force mutually-paired top hits for row 0: lanes 3 and 3+512 (pair
+    # partners at block_g=1024) both near q[0]
+    g[3] = q[0] + 0.01 * rng.normal(size=256)
+    g[3 + 512] = q[0] + 0.01 * rng.normal(size=256)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     g /= np.linalg.norm(g, axis=1, keepdims=True)
     v0, i0 = gallery_topk_xla(jnp.asarray(q), jnp.asarray(g), 700, k=5)
-    v1, i1 = gallery_topk_pallas(jnp.asarray(q), jnp.asarray(g), 700, k=5, interpret=True)
-    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
-    # indices never exceed the valid count
-    assert int(np.asarray(i1).max()) < 700
+    for merge in ("pair", "flat"):
+        for bg in (512, 1024):
+            v1, i1 = gallery_topk_pallas(jnp.asarray(q), jnp.asarray(g), 700,
+                                         k=5, interpret=True, merge=merge,
+                                         block_g=bg)
+            np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            # indices never exceed the valid count
+            assert int(np.asarray(i1).max()) < 700
     d = cosine_to_euclidean(v1)
     assert np.all(np.asarray(d) >= 0)
 

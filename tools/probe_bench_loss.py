@@ -95,8 +95,13 @@ def main() -> None:
         for g2 in frame_gts:
             if iou_matrix(g2["box"], sup[None])[0] >= 0.3:
                 covers.append(g2["f"])
+        area = lambda b: max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
         return {"iou_with_candidate": round(float(ious[j]), 3),
                 "iou_with_gt": round(float(iou_matrix(gt_box, sup[None])[0]), 3),
+                # outer/inner area ratio: demote_nested fires at >= its
+                # part_ratio floor — this says where the failing pair sits
+                "area_ratio_sup_over_cand": round(
+                    float(area(sup) / max(area(cand_box), 1e-6)), 2),
                 "covers_gt_faces": covers}
 
     for m in missed:
@@ -165,8 +170,8 @@ def main() -> None:
             _apply_regression(jnp.asarray(boxes3), jnp.asarray(oreg))))
         iou3_pre = iou_matrix(gtb, boxes3[0])
         c3 = int(np.argmax(iou3_pre * valid3[0]))
-        op_eff = demote_nested(jnp.asarray(obox), jnp.asarray(op),
-                               jnp.asarray(ovalid)) if det.prefer_whole else jnp.asarray(op)
+        op_eff = demote_nested(jnp.asarray(obox), jnp.asarray(op), jnp.asarray(ovalid),
+                               det.part_ratio) if det.prefer_whole else jnp.asarray(op)
         fb3, _, fv3, idx3 = jax.device_get(jax.vmap(
             lambda bb, ss, vv: nms(bb, ss, vv, 0.7, "min", F)
         )(jnp.asarray(obox), op_eff, jnp.asarray(ovalid)))

@@ -41,11 +41,18 @@ def main() -> None:
         steps = g_rows // TG
         for dtype, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32 ")):
             gd = gal.astype(dtype)
-            dt = slope_time(lambda e, g: gallery_topk_pallas(e, g, count, k=K),
-                            embs, gd)
-            nbytes = g_rows * D * jnp.dtype(dtype).itemsize
-            print(f"G={g_rows:9d} {name}: {dt*1e3:7.3f} ms  "
-                  f"{dt/steps*1e6:6.2f} us/step  {nbytes/dt/1e9:6.0f} GB/s eff")
+            # block_g=4096 is NOT an arm: at batch tile 384 its scores +
+            # packed + pair halves total ~18 MB of VMEM scratch, over the
+            # v5e 16 MB scoped limit (measured compile OOM 2026-08-21)
+            for merge, bg in (("pair", 2048), ("flat", 2048)):
+                dt = slope_time(lambda e, g: gallery_topk_pallas(e, g, count, k=K,
+                                                                 merge=merge,
+                                                                 block_g=bg),
+                                embs, gd)
+                nbytes = g_rows * D * jnp.dtype(dtype).itemsize
+                print(f"G={g_rows:9d} {name} {merge}/{bg}: {dt*1e3:7.3f} ms  "
+                      f"{dt/(g_rows//bg)*1e6:6.2f} us/step  "
+                      f"{nbytes/dt/1e9:6.0f} GB/s eff")
         # block_b 128: 3 batch tiles -> 3x the gallery re-streaming, but each
         # step's merge walks a 3x smaller [TB, TG] tile — separates
         # bandwidth-bound from merge-bound regimes
